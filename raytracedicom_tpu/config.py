@@ -1,0 +1,44 @@
+"""Engine configuration.
+
+The reference splits configuration between compile-time CMake options
+(CMakeLists.txt:36-79: WATER_CUBE_TEST, DOSE_TO_WATER, NOZZLE, NUCLEAR_CORR,
+the four cutoffs) and runtime CLI11 flags (config.cpp:9-64). Since JAX
+specializes at trace time, both tiers collapse into one frozen dataclass that
+is passed as a static argument to the jitted engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    dose_to_water: bool = True          # DOSE_TO_WATER (on by default, CMakeLists.txt:40-43)
+    nozzle: bool = True                 # NOZZLE air-scatter model (CMakeLists.txt:48-51)
+    nuclear: Optional[str] = None       # None | 'soukup' | 'fluka' | 'gauss_fit'
+    bp_depth_cutoff: float = 1.05       # BP_DEPTH_CUTOFF (CMakeLists.txt:72)
+    conv_sigma_cutoff: float = 3.0      # CONV_SIGMA_CUTOFF (pre-convolution)
+    ks_sigma_cutoff: float = 3.0        # KS_SIGMA_CUTOFF (kernel superposition)
+    ray_weight_cutoff: float = 1.0      # RAY_WEIGHT_CUTOFF (dead-ray threshold)
+    max_superp_radius: int = 32         # maxSuperpR (kernel_wrapper.cuh:26)
+    superp_tile = (32, 8)               # BEV grid rounding (kernel_wrapper.cuh:27-28)
+    compute_dtype: str = "float32"
+
+    # TPU-side knobs (no reference equivalent)
+    superp_chunk_z: int = 8             # z-slices per superposition weight chunk
+    remat_layers: bool = True           # jax.checkpoint each energy layer
+
+    @property
+    def nuclear_enabled(self) -> bool:
+        return self.nuclear is not None
+
+
+# Nuclear-mode physics constants (fillIddAndSigma, kernel_wrapper.cu:228-245):
+# (eRefSq [MeV^2], sigmaDelta [mm]) per mode; plain mode uses Highland 14.1 MeV.
+SCATTER_CONSTANTS = {
+    None: (14.1 ** 2, 0.21),
+    "soukup": (13.8 ** 2, 0.0),
+    "fluka": (14.7 ** 2, 0.08),
+    "gauss_fit": (13.0 ** 2, 0.06),
+}

@@ -1,0 +1,373 @@
+"""K2 — per-layer IDD deposition and lateral-sigma accumulation.
+
+Reference: fillIddAndSigma (kernel_wrapper.cu:190-379) and
+FillIddAndSigmaParams (fill_idd_and_sigma_params.cu:28-83). The reference
+warns this kernel is "a bit of a mine field" (kernel_wrapper.cuh:144) because
+the per-ray depth recurrence is order-sensitive. The physics:
+
+  * dose per step = rayWeight * d(cumulativeIDD)/mass, with the cumulative
+    depth-dose looked up at the ray's WEPL (cumulIddTex);
+  * lateral variance sigma^2 accumulates a Highland/Rossi multiple-Coulomb-
+    scattering term (double-integrated: incincScat -> incScat -> sigmaSq)
+    using the Bragg-Kleeman residual energy, plus an air-divergence
+    quadratic (incDiv), with an empirical dip after the Bragg peak;
+  * rays die at the Bragg-peak depth cutoff, on patient exit, or when their
+    weight is below RAY_WEIGHT_CUTOFF, and emit reciprocal-sigma = +inf.
+
+TPU-native restructure: the sequential per-ray loop carries six state
+variables, but every branch condition (pre/post Bragg peak, death step)
+depends only on the *precomputed* cumulative WEPL, never on the sigma state.
+The whole recurrence therefore unrolls into closed-form nested cumulative
+sums along the depth axis:
+
+  incincScat[n] = cumsum(tick)          tick = 2*thetaSq*dz^2 on update steps
+  incScat[n]    = cumsum(incincScat)
+  sigmaSq[n]    = -incDiv0 + cumsum(incScat[n-1] + incDiv[n]) (pre-peak)
+                  frozen - 1.5*(incScat+incDiv)*cumsum(density) (post-peak)
+
+so K2 becomes pure elementwise math + cumsums: no scan, no sequential
+dependency, differentiable end-to-end. A literal sequential numpy golden
+model (``fill_golden_numpy``) validates the equivalence in tests.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SCATTER_CONSTANTS
+from ..physics.interp import lut1d, lut2d
+
+Array = jnp.ndarray
+
+# Bragg-Kleeman inverse range-energy constants (kernel_wrapper.cu:225-227)
+P_INV = 0.5649718      # 1/p, p = 1.77
+E_COEF = 8.639415      # (10*alpha)^(-1/p), alpha = 2.2e-3
+PROTON_MASS = 938.3    # MeV
+SQRT2 = 1.41421356
+MASS_EPS = 1e-2        # avoid 0/0 and rippling in low-density media (ku.cu:343)
+BIG_RSIGMA = 1e10      # stands in for the reference's +inf reciprocal sigma
+
+
+class StepGeometry(NamedTuple):
+    """Per-beam, per-step divergent-voxel geometry (FillIddAndSigmaParams).
+
+    voxel_width[k] = delta_xy * (1 - (corner_z + k*delta_z)/source_dist)
+    (fill_idd_and_sigma_params.cu:42-46); step_vol is the quadratic-in-k
+    divergent volume (volConst/volLin/volSq, :23-25).
+    """
+
+    half_vw_sum: Array   # (S,) 0.5*(voxelWidth.x + voxelWidth.y)
+    step_vol: Array      # (S,)
+    step_length: Array   # scalar |delta_z|
+    delta_z: Array       # scalar signed delta_z
+    corner_z: Array      # scalar fan offset z
+
+
+def step_geometry(fan_delta, fan_offset, source_dist, steps: int) -> StepGeometry:
+    f = jnp.float32
+    dx, dy, dz = f(fan_delta[0]), f(fan_delta[1]), f(fan_delta[2])
+    cz = f(fan_offset[2])
+    sd = np.asarray(source_dist, np.float64)
+    rdx = f(0.0) if np.isinf(sd[0]) else f(1.0 / sd[0])
+    rdy = f(0.0) if np.isinf(sd[1]) else f(1.0 / sd[1])
+    rdxy = rdx * rdy
+
+    kk = jnp.arange(steps, dtype=jnp.float32)
+    vwx = dx * (1.0 - (cz + kk * dz) * rdx)
+    vwy = dy * (1.0 - (cz + kk * dz) * rdy)
+    half_vw_sum = 0.5 * (vwx + vwy)
+
+    base = jnp.abs(dx * dy * dz)
+    vol_const = base * (1.0 - cz * rdx - cz * rdy + (cz * cz + dz * dz / 12.0) * rdxy)
+    vol_lin = base * dz * (-rdx - rdy + 2.0 * cz * rdxy)
+    vol_sq = base * dz * dz * rdxy
+    step_vol = vol_const + kk * vol_lin + kk * kk * vol_sq
+
+    return StepGeometry(
+        half_vw_sum=half_vw_sum,
+        step_vol=step_vol,
+        step_length=jnp.abs(dz),
+        delta_z=dz,
+        corner_z=cz,
+    )
+
+
+def sigma_sq_air_coefs(peak_depth: Array, nozzle: bool = True) -> Tuple[Array, Array]:
+    """Static nozzle air-scatter model sigma^2(z) = a*z^2 + b*z + spotSigma^2
+    (fill_idd_and_sigma_params.cu:74-83)."""
+    if not nozzle:
+        z = jnp.zeros_like(peak_depth)
+        return z, z
+    a = 0.00270 / (peak_depth - 4.50)
+    b = -4.39 / (peak_depth - 3.86)
+    return a, b
+
+
+class LayerScalars(NamedTuple):
+    """Traced per-layer scalars fed to the fill kernel."""
+
+    energy_idx: Array        # fractional index into the energy tables
+    energy_scale: Array      # WEPL -> cidd sample index
+    peak_depth: Array        # Bragg-peak depth [mm WEPL]
+    after_last: Array        # int32 layer step bound (afterLastStep)
+    air_lin: Array           # sigmaSqAirLin (L)
+    air_quad: Array          # sigmaSqAirQuad (Q)
+    entry_sigma_sq: Array    # entry sigma^2 (nuclear halo path only)
+
+
+def make_layer_scalars(
+    peak_depth: Array,
+    energy_idx: Array,
+    energy_scale: Array,
+    after_last: Array,
+    geom: StepGeometry,
+    entry_sigma_sq: Array,
+    nozzle: bool = True,
+) -> LayerScalars:
+    """Air-divergence coefficients from initStepAndAirDiv
+    (fill_idd_and_sigma_params.cu:28-40) with relStepLenSq = 1."""
+    a, b = sigma_sq_air_coefs(peak_depth, nozzle)
+    air_quad = a * geom.delta_z * geom.delta_z
+    air_lin = 2.0 * a * geom.delta_z * geom.corner_z + b * geom.delta_z
+    return LayerScalars(
+        energy_idx=energy_idx,
+        energy_scale=energy_scale,
+        peak_depth=peak_depth,
+        after_last=after_last,
+        air_lin=air_lin,
+        air_quad=air_quad,
+        entry_sigma_sq=entry_sigma_sq,
+    )
+
+
+class FillResult(NamedTuple):
+    idd: Array            # (S, Y, X) dose per step per ray
+    r_sigma_eff: Array    # (S, Y, X) reciprocal effective sigma [1/ray-pixel]
+    first_passive: Array  # (Y, X) int32 step at which each ray goes passive
+    sigma_sq: Array       # (S, Y, X) accumulated sigma^2 (for nuclear path)
+    live_mass: Array      # (S, Y, X) mass per step (for nuclear path)
+    cumul_mid: Array      # (S, Y, X) 0.5*(cumulSp + cumulSpOld)
+    out_live: Array       # (S, Y, X) bool output-live mask
+    d_cumul_dose: Array   # (S, Y, X) cumulDose - cumulDoseOld
+
+
+def fill_idd_and_sigma(
+    density: Array,          # (S, Y, X) from the tracer
+    cumul_sp: Array,         # (S, Y, X) from the tracer
+    ray_weights: Array,      # (Y, X) this layer's pre-convolved weights
+    first_inside: Array,     # (Y, X) int32 per-ray patient entry
+    first_outside: Array,    # (Y, X) int32 per-ray patient exit
+    first_step: Array,       # scalar int32 beamFirstInside
+    layer: LayerScalars,
+    geom: StepGeometry,
+    cidd: Array,             # (nEnergies, nSamples) cumulative IDD table
+    rrl_lut: Array,
+    rrl_scale: Array,
+    *,
+    dose_to_water: bool = True,
+    nuclear_mode: Optional[str] = None,
+    bp_depth_cutoff: float = 1.05,
+    ray_weight_cutoff: float = 1.0,
+) -> FillResult:
+    S = density.shape[0]
+    f32 = density.dtype
+    n = jnp.arange(S, dtype=jnp.int32)[:, None, None]        # (S,1,1)
+
+    e_ref_sq, sigma_delta = SCATTER_CONSTANTS[nuclear_mode]
+    e_ref_sq = jnp.asarray(e_ref_sq, f32)
+    sigma_delta = jnp.asarray(sigma_delta, f32)
+
+    # --- per-ray liveness bookkeeping (kernel_wrapper.cu:206-213) ---
+    after_last_init = jnp.minimum(first_outside, layer.after_last)    # (Y,X)
+    live0 = (ray_weights >= ray_weight_cutoff) & (after_last_init >= first_step)
+
+    cumul_old = jnp.concatenate([jnp.zeros_like(cumul_sp[:1]), cumul_sp[:-1]], axis=0)
+    cumul_old = jnp.where(n > first_step, cumul_old, 0.0)
+    cumul_mid = 0.5 * (cumul_sp + cumul_old)
+
+    # death trigger (kernel_wrapper.cu:309-312): first step with
+    # WEPL > peak*cutoff or hitting the per-ray exit step
+    trigger = (cumul_sp > layer.peak_depth * bp_depth_cutoff) | (n == after_last_init)
+    trigger = trigger & (n >= first_step)
+    any_trig = jnp.any(trigger, axis=0)
+    t_step = jnp.where(any_trig, jnp.argmax(trigger, axis=0).astype(jnp.int32), S)  # (Y,X)
+
+    in_range = (n >= first_step) & (n < layer.after_last)
+    body_live = in_range & (n <= t_step) & live0[None]       # state updates happen here
+    out_live = (
+        in_range & (n < t_step) & live0[None] & (n >= first_inside[None] - 1)
+    )
+
+    # --- sigma^2 recurrence as nested cumsums (see module docstring) ---
+    pre = cumul_sp < layer.peak_depth
+    upd = body_live & pre                                     # pre-peak update steps
+
+    res_e = E_COEF * jnp.power(
+        jnp.maximum(layer.peak_depth - cumul_mid, 1e-6), P_INV
+    )
+    beta_p = res_e + PROTON_MASS - PROTON_MASS * PROTON_MASS / (res_e + PROTON_MASS)
+    r_rl = density * lut1d(rrl_lut, density * rrl_scale)
+    theta_sq = e_ref_sq / (beta_p * beta_p) * geom.step_length * r_rl
+    tick = jnp.where(upd, 2.0 * theta_sq * geom.step_length * geom.step_length, 0.0)
+
+    updf = upd.astype(f32)
+    inc_div0 = layer.air_lin + (2.0 * first_step.astype(f32) - 1.0) * layer.air_quad
+    upd_count_before = jnp.cumsum(updf, axis=0) - updf        # updates strictly before n
+    inc_div_prev = inc_div0 + 2.0 * layer.air_quad * upd_count_before
+    inc_div_after = inc_div_prev + 2.0 * layer.air_quad * updf
+
+    incinc_after = jnp.cumsum(tick, axis=0)                   # incincScat after step n
+    inc_scat_after = jnp.cumsum(jnp.where(upd, incinc_after, 0.0), axis=0)
+    inc_scat_prev = inc_scat_after - jnp.where(upd, incinc_after, 0.0)
+
+    term = jnp.where(upd, inc_scat_prev + inc_div_prev, 0.0)
+    sigma_sq_pre = -inc_div0 + jnp.cumsum(term, axis=0)
+
+    if nuclear_mode == "gauss_fit":
+        sigma_sq = sigma_sq_pre                               # no post-peak dip
+    else:
+        post = body_live & ~pre
+        cum_post_density = jnp.cumsum(jnp.where(post, density, 0.0), axis=0)
+        dip = 1.5 * (inc_scat_after + inc_div_after) * cum_post_density
+        sigma_sq = jnp.where(pre, sigma_sq_pre, sigma_sq_pre - dip)
+
+    sigma = jnp.sqrt(jnp.maximum(sigma_sq, 0.0)) + sigma_delta
+    r_sigma_eff = geom.half_vw_sum[:, None, None] / (SQRT2 * sigma)
+    r_sigma_eff = jnp.where(out_live, r_sigma_eff, BIG_RSIGMA)
+
+    # --- dose per step (kernel_wrapper.cu:314-346) ---
+    cumul_dose = lut2d(cidd, cumul_sp * layer.energy_scale, layer.energy_idx)
+    dose_old = jnp.concatenate([jnp.zeros_like(cumul_dose[:1]), cumul_dose[:-1]], axis=0)
+    dose_old = jnp.where(n > first_step, dose_old, 0.0)
+    d_dose = cumul_dose - dose_old
+
+    if dose_to_water:
+        mass = (cumul_sp - cumul_old) * geom.step_vol[:, None, None]
+    else:
+        mass = density * geom.step_vol[:, None, None]
+
+    valid = body_live & (mass > MASS_EPS)
+    res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
+    # ``res`` carries its previous value across steps whose mass is below the
+    # epsilon (the reference never resets it): forward-fill via running max
+    # of the last valid step index.
+    fill_idx = jax.lax.cummax(jnp.where(valid, n, -1), axis=0)
+    res = jnp.where(
+        fill_idx >= 0,
+        jnp.take_along_axis(
+            jnp.where(valid, res_now, 0.0), jnp.maximum(fill_idx, 0), axis=0
+        ),
+        0.0,
+    )
+    idd = jnp.where(out_live, res, 0.0)
+
+    first_passive = jnp.where(
+        live0, jnp.where(t_step < layer.after_last, t_step, after_last_init), 0
+    ).astype(jnp.int32)
+
+    return FillResult(
+        idd=idd,
+        r_sigma_eff=r_sigma_eff,
+        first_passive=first_passive,
+        sigma_sq=sigma_sq,
+        live_mass=mass,
+        cumul_mid=cumul_mid,
+        out_live=out_live,
+        d_cumul_dose=d_dose,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden model: literal transcription of the reference's sequential per-ray
+# loop (kernel_wrapper.cu:190-379, plain mode), used only in tests.
+# ---------------------------------------------------------------------------
+
+def fill_golden_numpy(
+    density, cumul_sp, ray_weights, first_inside, first_outside, first_step,
+    energy_idx, energy_scale, peak_depth, after_last,
+    air_lin, air_quad, step_length, half_vw_sum, step_vol,
+    cidd, rrl_lut, rrl_scale,
+    dose_to_water=True, nuclear_mode=None,
+    bp_depth_cutoff=1.05, ray_weight_cutoff=1.0,
+):
+    e_ref_sq, sigma_delta = SCATTER_CONSTANTS[nuclear_mode]
+    S, ny, nx = density.shape
+    idd = np.zeros((S, ny, nx), np.float32)
+    rsig = np.full((S, ny, nx), np.float32(BIG_RSIGMA))
+    first_passive = np.zeros((ny, nx), np.int32)
+
+    def tex1d(tab, c):
+        c = min(max(c, 0.0), len(tab) - 1.0)
+        i = min(int(np.floor(c)), len(tab) - 2)
+        f = c - i
+        return tab[i] * (1 - f) + tab[i + 1] * f
+
+    def tex2d(tab, x, y):
+        rows, cols = tab.shape
+        x = min(max(x, 0.0), cols - 1.0)
+        y = min(max(y, 0.0), rows - 1.0)
+        ix = min(int(np.floor(x)), cols - 2)
+        iy = min(int(np.floor(y)), rows - 2)
+        fx, fy = x - ix, y - iy
+        top = tab[iy, ix] * (1 - fx) + tab[iy, ix + 1] * fx
+        bot = tab[iy + 1, ix] * (1 - fx) + tab[iy + 1, ix + 1] * fx
+        return top * (1 - fy) + bot * fy
+
+    for j in range(ny):
+        for i in range(nx):
+            beam_live = True
+            first_in = int(first_inside[j, i])
+            after = min(int(first_outside[j, i]), int(after_last))
+            w = float(ray_weights[j, i])
+            if w < ray_weight_cutoff or after < first_step:
+                beam_live = False
+                after = 0
+            res = 0.0
+            r_sigma_eff = float(BIG_RSIGMA)
+            c_sp_old = 0.0
+            c_dose_old = 0.0
+            inc_scat = 0.0
+            incinc_scat = 0.0
+            inc_div = air_lin + (2.0 * first_step - 1.0) * air_quad
+            sigma_sq = -inc_div
+            for step in range(int(first_step), int(after_last)):
+                if beam_live:
+                    c_sp = float(cumul_sp[step, j, i])
+                    c_dose = tex2d(cidd, c_sp * energy_scale, energy_idx)
+                    dens = float(density[step, j, i])
+                    if c_sp < peak_depth:
+                        res_e = E_COEF * max(peak_depth - 0.5 * (c_sp + c_sp_old), 1e-6) ** P_INV
+                        beta_p = res_e + PROTON_MASS - PROTON_MASS ** 2 / (res_e + PROTON_MASS)
+                        r_rl = dens * tex1d(rrl_lut, dens * rrl_scale)
+                        theta_sq = e_ref_sq / (beta_p * beta_p) * step_length * r_rl
+                        sigma_sq += inc_scat + inc_div
+                        incinc_scat += 2.0 * theta_sq * step_length * step_length
+                        inc_scat += incinc_scat
+                        inc_div += 2.0 * air_quad
+                    elif nuclear_mode != "gauss_fit":
+                        sigma_sq -= 1.5 * (inc_scat + inc_div) * dens
+                    r_sigma_eff = half_vw_sum[step] / (
+                        SQRT2 * (np.sqrt(max(sigma_sq, 0.0)) + sigma_delta)
+                    )
+                    if c_sp > peak_depth * bp_depth_cutoff or step == after:
+                        beam_live = False
+                        after = step
+                    if dose_to_water:
+                        mass = (c_sp - c_sp_old) * step_vol[step]
+                    else:
+                        mass = dens * step_vol[step]
+                    if mass > MASS_EPS:
+                        res = w * (c_dose - c_dose_old) / mass
+                    c_sp_old = c_sp
+                    c_dose_old = c_dose
+                if (not beam_live) or step < first_in - 1:
+                    out_res, out_rsig = 0.0, float(BIG_RSIGMA)
+                else:
+                    out_res, out_rsig = res, r_sigma_eff
+                idd[step, j, i] = out_res
+                rsig[step, j, i] = out_rsig
+            first_passive[j, i] = after
+    return idd, rsig, first_passive
