@@ -109,6 +109,8 @@ def spot_to_ray_weights(
 
     # X pass: (L, Sy, Sx) x (L, Rx, Sx) -> (L, Sy, Rx); then Y pass -> (L, Ry, Rx)
     interm = jnp.einsum("lyx,lux->lyu", spot_weights, wx,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("lyu,lvy->lvu", interm, wy,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

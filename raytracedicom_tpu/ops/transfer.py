@@ -1,0 +1,92 @@
+"""K6 — BEV dose -> dose-grid resampling with divergence correction.
+
+Reference: primTransfDiv / nucTransfDiv (kernel_wrapper.cu:69-128) with
+TransferParamStructDiv3 (transfer_param_struct_div3.cu:22-34): one CUDA
+thread per dose-grid column walks z, converts each dose-grid index to a fan
+index with a perspective division, trilinearly samples the padded BEV dose
+texture and accumulates into the global dose grid.
+
+TPU-native restructure: generate the full (bounding-box) lattice of dose-grid
+indices at once, map them through the inverse fan transform (pure batched
+math), and perform one large border-zero trilinear gather — then add into the
+dose volume with a single static-slice update. The reference's host-side
+corner-transform bounding box (kernel_wrapper.cu:1187-1210) is reproduced on
+the host in ``dose_bbox`` so the gather extent stays static.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.transforms import (
+    FanFromIdxTransform,
+    FanToIdxTransform,
+    apply_fan_to_idx,
+    np_apply_fan_from_idx,
+)
+from ..physics.interp import trilinear_border
+
+Array = jnp.ndarray
+
+
+def dose_bbox(
+    ray_idx_to_dose_idx: FanFromIdxTransform,
+    ray_dims: Tuple[int, int],
+    pad: int,
+    z_range: Tuple[int, int],
+    dose_shape: Tuple[int, int, int],
+    align_x: int = 32,
+) -> Tuple[Tuple[int, int, int], Tuple[int, int, int]]:
+    """Static bounding box of the beam in dose-grid indices.
+
+    Transforms the 8 corners of the padded BEV slab (x,y in
+    [-pad, dims+pad-1], z in z_range) exactly like kernel_wrapper.cu:1187-1210,
+    floors/ceils, clamps to the dose grid, and aligns min x down to
+    ``align_x``. Returns ((x0,y0,z0), (x1,y1,z1)) inclusive.
+    """
+    xs = (-float(pad), float(ray_dims[0] + pad - 1))
+    ys = (-float(pad), float(ray_dims[1] + pad - 1))
+    zs = (float(z_range[0]), float(z_range[1] - 1))
+    pts = np.array([[x, y, z] for z in zs for y in ys for x in xs], np.float32)
+    out = np_apply_fan_from_idx(ray_idx_to_dose_idx, pts)
+    mn = out.min(axis=0)
+    mx = out.max(axis=0)
+    zd, yd, xd = dose_shape
+    x0 = max((int(np.floor(mn[0])) // align_x) * align_x, 0)
+    y0 = max(int(np.floor(mn[1])), 0)
+    z0 = max(int(np.floor(mn[2])), 0)
+    x1 = min(int(np.ceil(mx[0])), xd - 1)
+    y1 = min(int(np.ceil(mx[1])), yd - 1)
+    z1 = min(int(np.ceil(mx[2])), zd - 1)
+    return (x0, y0, z0), (x1, y1, z1)
+
+
+def transfer_bev_to_dose(
+    dose: Array,                   # (Zd, Yd, Xd) dose grid to accumulate into
+    bev_dose: Array,               # (S, Yp, Xp) padded BEV dose slab
+    dose_idx_to_fan_idx: FanToIdxTransform,
+    bbox_min: Tuple[int, int, int],
+    bbox_max: Tuple[int, int, int],
+) -> Array:
+    """Accumulate the resampled BEV dose into ``dose`` over the static bbox.
+
+    ``dose_idx_to_fan_idx`` must already include the padding shift (use
+    invert_and_shift_fan_from_idx with (pad, pad, 0) — the z shift is zero
+    because our BEV slab keeps the full step range, unlike the reference's
+    texture that starts at beamFirstInside).
+    """
+    (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
+    nx, ny, nz = x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1
+
+    xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
+    ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
+    zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)
+    grid = jnp.stack(
+        jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1
+    )  # (nx, ny, nz, 3) ordered (x, y, z)
+    fan = apply_fan_to_idx(dose_idx_to_fan_idx, grid)
+    vals = trilinear_border(bev_dose, fan)          # (nx, ny, nz)
+    vals = jnp.transpose(vals, (2, 1, 0))           # -> (nz, ny, nx)
+    return dose.at[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1].add(vals)

@@ -1,0 +1,92 @@
+"""End-to-end engine tests on a scaled-down water phantom (CPU-friendly)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracedicom_tpu.config import EngineConfig
+from raytracedicom_tpu.engine import DoseEngine
+from raytracedicom_tpu.geometry.transforms import np_affine, np_idx
+from raytracedicom_tpu.physics.tables import load_physics_tables
+from raytracedicom_tpu.plan import Beam
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return load_physics_tables(water_cube=True)
+
+
+def _mini_beam(tables, n_layers=2, n_spots=5):
+    """A small water slab with a centred spot grid: 72^3 voxels at 2 mm,
+    beam along -z entering the slab front."""
+    energies = np.array([118.12, 130.0], np.float32)[:n_layers]
+    peaks = np.interp(energies, tables.energies, tables.peak_depths).astype(np.float32)
+    sig = (2.3 + 290.0 / (peaks + 15.0)).astype(np.float32)
+    weights = np.full((n_layers, n_spots, n_spots), 100.0, np.float32)
+    # gantry == world; image index = (world + 72 mm)/2 mm
+    world_to_im = np_affine(np.eye(3, dtype=np.float32) * 0.5, [36.0, 36.0, 36.0])
+    # spots 6 mm apart centred on axis; tracing starts at z=+80 (above the
+    # slab top at +72), 2 mm steps toward -z
+    spot_to_gantry = np_idx([6.0, 6.0, -2.0], [-12.0, -12.0, 80.0])
+    inf = float("inf")
+    return Beam(
+        spot_weights=weights,
+        energies=energies,
+        spot_sigmas=np.stack([sig, sig], 1),
+        ray_spacing=(2.0, 2.0),
+        steps=96,
+        source_dist=(inf, inf),
+        spot_idx_to_gantry=spot_to_gantry,
+        gantry_to_im_idx=world_to_im,
+        gantry_to_dose_idx=world_to_im,
+    )
+
+
+@pytest.fixture(scope="module")
+def mini_dose(tables):
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+    beam = _mini_beam(tables)
+    eng = DoseEngine(tables, EngineConfig(superp_chunk_z=8))
+    dose = eng.compute_dose(jnp.asarray(ct), [beam])
+    return np.asarray(dose), beam, tables
+
+
+def test_dose_positive_and_finite(mini_dose):
+    dose, beam, tables = mini_dose
+    assert np.all(np.isfinite(dose))
+    assert dose.max() > 0
+    assert dose.min() >= 0
+
+
+def test_bragg_peak_depth(mini_dose):
+    dose, beam, tables = mini_dose
+    # central-axis depth-dose: slab top at world z=+72 -> im k=72... the beam
+    # enters at im k=71 (z=70mm is the last voxel centre inside)
+    axis = dose[:, 36, 36]
+    k_peak = int(np.argmax(axis))
+    peaks = np.interp(beam.energies, tables.energies, tables.peak_depths)
+    # deepest layer dominates the integrated peak position band; the combined
+    # peak must lie between the two layer peaks (in mm WEPL below surface)
+    surface_world = 72.0
+    peak_world = k_peak * 2.0 - 72.0
+    depth_mm = surface_world - peak_world
+    assert peaks.min() - 12.0 <= depth_mm <= peaks.max() + 12.0
+
+
+def test_lateral_symmetry(mini_dose):
+    dose, _, _ = mini_dose
+    # symmetric plan: dose symmetric about the central axis, which sits at
+    # voxel index 36 (world 0), so mirror index k <-> 72-k
+    sub = dose[:, 1:, :]
+    np.testing.assert_allclose(sub, sub[:, ::-1, :], rtol=1e-3, atol=2e-4 * dose.max())
+    sub = dose[:, :, 1:]
+    np.testing.assert_allclose(sub, sub[:, :, ::-1], rtol=1e-3, atol=2e-4 * dose.max())
+
+
+def test_dose_scales_linearly_with_weights(tables):
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+    beam = _mini_beam(tables)
+    eng = DoseEngine(tables, EngineConfig())
+    d1 = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam]))
+    beam2 = beam._replace(spot_weights=2.0 * beam.spot_weights)
+    d2 = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam2]))
+    np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-4, atol=1e-5 * d1.max())
