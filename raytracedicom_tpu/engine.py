@@ -177,18 +177,32 @@ def compute_beam_dose(
     tables: TableArrays,
     static: BeamStatic,
     cfg: EngineConfig,
+    ray_sharding=None,
 ) -> Array:
-    """Add one beam's dose into ``dose`` (both (Z, Y, X), HU+1000 CT)."""
+    """Add one beam's dose into ``dose`` (both (Z, Y, X), HU+1000 CT).
+
+    ``ray_sharding``: optional ``jax.sharding.NamedSharding`` whose spec
+    partitions axis 1 (ray-grid Y) of the (S, Ry, Rx) BEV slabs. Rays are
+    embarrassingly parallel through trace/fill (SURVEY.md §2.4a); the
+    superposition halo (≤ pad pixels) becomes an XLA-inserted collective
+    permute, and the final transfer gathers from the resharded BEV dose.
+    """
     grid = static.grid
     nrx, nry = grid.ray_dims
     S = static.steps
     L = static.n_layers
+
+    def constrain(x):
+        if ray_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, ray_sharding)
 
     # ---- K1: trace ----
     tr = trace.trace_density_and_sp(
         ct, static.ray_to_im, grid.ray_dims, S,
         tables.density, tables.density_scale, tables.sp, tables.sp_scale,
     )
+    tr = tr._replace(density=constrain(tr.density), cumul_sp=constrain(tr.cumul_sp))
 
     # ---- K7 reductions (kernel_wrapper.cu:781-790) ----
     beam_first_inside = jnp.min(tr.first_inside)
@@ -267,8 +281,8 @@ def compute_beam_dose(
             bp_depth_cutoff=cfg.bp_depth_cutoff,
             ray_weight_cutoff=cfg.ray_weight_cutoff,
         )
-        idd_w = jax.lax.dynamic_slice(fill.idd, (z0, 0, 0), (W, nry, nrx))
-        rs_w = jax.lax.dynamic_slice(fill.r_sigma_eff, (z0, 0, 0), (W, nry, nrx))
+        idd_w = constrain(jax.lax.dynamic_slice(fill.idd, (z0, 0, 0), (W, nry, nrx)))
+        rs_w = constrain(jax.lax.dynamic_slice(fill.r_sigma_eff, (z0, 0, 0), (W, nry, nrx)))
         bev = superposition.superpose_bucketed(
             idd_w, rs_w, static.radii, static.pad, cfg.superp_chunk_z,
             cfg.ks_sigma_cutoff,
@@ -307,9 +321,11 @@ class DoseEngine:
     geometry (the reference's cudaWrapperProtons equivalent, minus the
     explicit memory management XLA does for us)."""
 
-    def __init__(self, tables, cfg: EngineConfig = EngineConfig()):
+    def __init__(self, tables, cfg: EngineConfig = EngineConfig(),
+                 ray_sharding=None):
         self.tables = tables
         self.cfg = cfg
+        self.ray_sharding = ray_sharding
         self.table_arrays = TableArrays.from_tables(tables)
         self._kernels = {}
 
@@ -321,10 +337,12 @@ class DoseEngine:
                static.z_window, static.radii, static.bbox_min, static.bbox_max)
         if key not in self._kernels:
             cfg = self.cfg
+            ray_sharding = self.ray_sharding
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def kernel(ct, dose, inputs, tabs):
-                return compute_beam_dose(ct, dose, inputs, tabs, static, cfg)
+                return compute_beam_dose(ct, dose, inputs, tabs, static, cfg,
+                                         ray_sharding=ray_sharding)
 
             self._kernels[key] = kernel
         return self._kernels[key]

@@ -85,7 +85,10 @@ def test_lateral_symmetry(mini_dose):
 def test_dose_scales_linearly_with_weights(tables):
     ct = np.full((72, 72, 72), 1000.0, np.float32)
     beam = _mini_beam(tables)
-    eng = DoseEngine(tables, EngineConfig())
+    # ray_weight_cutoff=0 so no ray crosses the dead-ray threshold when
+    # weights double (the cutoff makes dose piecewise-linear by design,
+    # reference kernel_wrapper.cu:209-213)
+    eng = DoseEngine(tables, EngineConfig(ray_weight_cutoff=0.0))
     d1 = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam]))
     beam2 = beam._replace(spot_weights=2.0 * beam.spot_weights)
     d2 = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam2]))

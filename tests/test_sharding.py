@@ -1,0 +1,89 @@
+"""Mesh-sharded engine tests on the 8-virtual-device CPU backend.
+
+Validates (a) sharded dose == single-device dose (GSPMD partitioning is
+numerics-preserving up to reduction order), (b) mesh-size-1 degeneracy,
+(c) the batched spot-weight optimization step runs and reduces the loss
+(SURVEY.md §4: multi-host testing via virtual CPU devices)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracedicom_tpu.config import EngineConfig
+from raytracedicom_tpu.engine import BeamInputs, DoseEngine
+from raytracedicom_tpu.parallel import (
+    batch_sharding, make_mesh, make_sharded_dose_fn, make_train_step,
+)
+from raytracedicom_tpu.physics.tables import load_physics_tables
+from tests.test_engine import _mini_beam
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tables = load_physics_tables(water_cube=True)
+    beam = _mini_beam(tables)
+    ct = jnp.full((72, 72, 72), 1000.0, jnp.float32)
+    cfg = EngineConfig()
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, ct.shape)
+    inputs = BeamInputs(
+        spot_weights=jnp.asarray(beam.spot_weights),
+        energies=jnp.asarray(beam.energies),
+        spot_sigmas=jnp.asarray(beam.spot_sigmas),
+    )
+    return ct, inputs, eng.table_arrays, static, cfg
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 4), (8, 1), (1, 8)])
+def test_sharded_dose_matches_single_device(setup, mesh_shape):
+    ct, inputs, tabs, static, cfg = setup
+    n = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:n], n_field=mesh_shape[0])
+
+    dose0 = jnp.zeros(static.dose_shape, jnp.float32)
+    ref = np.asarray(jax.jit(
+        lambda *a: __import__("raytracedicom_tpu.engine", fromlist=["x"])
+        .compute_beam_dose(*a, static, cfg)
+    )(ct, dose0, inputs, tabs))
+
+    fn = make_sharded_dose_fn(static, cfg, mesh)
+    out = np.asarray(fn(ct, dose0, inputs, tabs))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6 * ref.max())
+
+
+def test_train_step_reduces_loss(setup):
+    ct, inputs, tabs, static, cfg = setup
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    mesh = make_mesh(jax.devices()[:4], n_field=2)
+    step, loss_and_grad = make_train_step(static, cfg, mesh)
+
+    # target: the dose of the nominal weights; start from perturbed weights
+    fn = make_sharded_dose_fn(static, cfg, mesh)
+    dose0 = jnp.zeros(static.dose_shape, jnp.float32)
+    target = fn(ct, dose0, inputs, tabs)
+
+    w0 = inputs.spot_weights * 1.3
+    weights_b = jnp.broadcast_to(w0[None], (4,) + w0.shape)
+    weights_b = jax.device_put(weights_b, batch_sharding(mesh, weights_b.ndim))
+
+    # calibrate lr from the first gradient so the step size is a small
+    # fraction of the weight scale (dose/weight units are ~1e-8, so any
+    # fixed lr would be either invisible or explosive)
+    loss0, g0 = loss_and_grad(weights_b, ct, inputs.energies,
+                              inputs.spot_sigmas, target, tabs)
+    gmax = float(jnp.max(jnp.abs(g0)))
+    assert gmax > 0, "zero gradient through the dose engine"
+    lr = 0.05 * float(jnp.mean(w0)) / gmax
+
+    losses = [float(loss0)]
+    for _ in range(3):
+        weights_b, loss = step(ct, weights_b, inputs.energies,
+                               inputs.spot_sigmas, target, tabs, lr)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # weights should move toward the nominal (smaller) values
+    assert float(jnp.mean(weights_b)) < float(jnp.mean(w0))
