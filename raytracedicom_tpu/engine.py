@@ -36,6 +36,12 @@ from .geometry.transforms import (
 )
 from .ops import idd_sigma as isig
 from .ops import spot_conv, superposition, trace, transfer
+from .ops.pallas_lut import on_tpu
+from .ops.pallas_superposition import (
+    step_radii,
+    superpose_masked_jnp,
+    superpose_pallas,
+)
 from .physics.interp import interp_at_index, interp_decimal_index
 from .plan import Beam, RayGridGeometry, compute_ray_grid
 
@@ -283,10 +289,12 @@ def compute_beam_dose(
         )
         idd_w = constrain(jax.lax.dynamic_slice(fill.idd, (z0, 0, 0), (W, nry, nrx)))
         rs_w = constrain(jax.lax.dynamic_slice(fill.r_sigma_eff, (z0, 0, 0), (W, nry, nrx)))
-        bev = superposition.superpose_bucketed(
-            idd_w, rs_w, static.radii, static.pad, cfg.superp_chunk_z,
-            cfg.ks_sigma_cutoff,
-        )
+        max_r = max(static.radii)
+        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
+        if on_tpu():
+            bev = superpose_pallas(idd_w, rs_w, rads, max_r, static.pad)
+        else:
+            bev = superpose_masked_jnp(idd_w, rs_w, rads, max_r, static.pad)
         return bev_acc + bev, fill.first_passive
 
     body = layer_body

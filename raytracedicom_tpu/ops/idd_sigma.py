@@ -39,6 +39,7 @@ import numpy as np
 
 from ..config import SCATTER_CONSTANTS
 from ..physics.interp import lut1d, lut2d
+from .pallas_lut import lut1d_fast, lut2d_scalar_row_fast
 
 Array = jnp.ndarray
 
@@ -209,7 +210,7 @@ def fill_idd_and_sigma(
         jnp.maximum(layer.peak_depth - cumul_mid, 1e-6), P_INV
     )
     beta_p = res_e + PROTON_MASS - PROTON_MASS * PROTON_MASS / (res_e + PROTON_MASS)
-    r_rl = density * lut1d(rrl_lut, density * rrl_scale)
+    r_rl = density * lut1d_fast(rrl_lut, density * rrl_scale)
     theta_sq = e_ref_sq / (beta_p * beta_p) * geom.step_length * r_rl
     tick = jnp.where(upd, 2.0 * theta_sq * geom.step_length * geom.step_length, 0.0)
 
@@ -239,7 +240,8 @@ def fill_idd_and_sigma(
     r_sigma_eff = jnp.where(out_live, r_sigma_eff, BIG_RSIGMA)
 
     # --- dose per step (kernel_wrapper.cu:314-346) ---
-    cumul_dose = lut2d(cidd, cumul_sp * layer.energy_scale, layer.energy_idx)
+    cumul_dose = lut2d_scalar_row_fast(cidd, cumul_sp * layer.energy_scale,
+                                       layer.energy_idx)
     dose_old = jnp.concatenate([jnp.zeros_like(cumul_dose[:1]), cumul_dose[:-1]], axis=0)
     dose_old = jnp.where(n > first_step, dose_old, 0.0)
     d_dose = cumul_dose - dose_old
@@ -252,15 +254,15 @@ def fill_idd_and_sigma(
     valid = body_live & (mass > MASS_EPS)
     res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
     # ``res`` carries its previous value across steps whose mass is below the
-    # epsilon (the reference never resets it): forward-fill via running max
-    # of the last valid step index.
-    fill_idx = jax.lax.cummax(jnp.where(valid, n, -1), axis=0)
-    res = jnp.where(
-        fill_idx >= 0,
-        jnp.take_along_axis(
-            jnp.where(valid, res_now, 0.0), jnp.maximum(fill_idx, 0), axis=0
-        ),
-        0.0,
+    # epsilon (the reference never resets it): forward-fill as an associative
+    # scan with the "last valid value" operator (log2(S) elementwise rounds —
+    # far cheaper than a take_along_axis gather on TPU).
+    def _last_valid(a, b):
+        av, am = a
+        bv, bm = b
+        return jnp.where(bm, bv, av), am | bm
+    res, _ = jax.lax.associative_scan(
+        _last_valid, (jnp.where(valid, res_now, 0.0), valid), axis=0
     )
     idd = jnp.where(out_live, res, 0.0)
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..geometry.transforms import FanFromIdxTransform
 from ..physics.interp import lut1d, trilinear_border
+from .pallas_lut import lut1d_fast
 
 Array = jnp.ndarray
 
@@ -118,8 +119,8 @@ def trace_density_and_sp(
     pos = start[None] + kk[:, None, None, None] * inc[None]
 
     hu = trilinear_border(ct_vol, pos)                          # (S, Y, X)
-    density = lut1d(density_lut, hu * density_scale)
-    sp = lut1d(sp_lut, hu * sp_scale)
+    density = lut1d_fast(density_lut, hu * density_scale)
+    sp = lut1d_fast(sp_lut, hu * sp_scale)
     cumul_sp = jnp.cumsum(sp * step_len[None], axis=0)
     cumul_hu = jnp.cumsum(hu, axis=0)
 

@@ -12,6 +12,18 @@ import time
 from typing import Callable, Dict
 
 import jax
+import numpy as np
+
+
+def sync(out):
+    """Force completion of everything queued before ``out``: on the axon
+    platform block_until_ready returns early, so fetch one element to host
+    (device queues are in-order, so this fences all prior work)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ravel")]
+    if leaves:
+        np.asarray(leaves[0].ravel()[:1])
+    return out
 
 
 class StageTimer:
@@ -21,12 +33,11 @@ class StageTimer:
     def time(self, name: str, fn: Callable, *args, warmup: int = 1, reps: int = 3):
         fn_jit = jax.jit(fn)
         for _ in range(warmup):
-            out = fn_jit(*args)
-            jax.block_until_ready(out)
+            out = sync(fn_jit(*args))
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn_jit(*args)
-            jax.block_until_ready(out)
+        sync(out)
         self.times_ms[name] = (time.perf_counter() - t0) / reps * 1000.0
         return out
 

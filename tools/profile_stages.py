@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import numpy as np, jax, jax.numpy as jnp, time, functools
 from raytracedicom_tpu.config import EngineConfig
 from raytracedicom_tpu.engine import *
