@@ -105,6 +105,7 @@ class BeamStatic:
     bbox_max: Tuple[int, int, int]
     ray_to_im: FanFromIdxTransform      # numpy-leaf transform pytrees
     ray_to_dose: FanFromIdxTransform
+    d2f: object                         # static FanToIdxTransform (pad-shifted)
     spot_delta: Tuple[float, float]     # spotIdxToGantry lateral delta/offset
     spot_offset: Tuple[float, float]
 
@@ -150,6 +151,12 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
     bbox_min, bbox_max = transfer.dose_bbox(
         ray_to_dose, grid.ray_dims, pad, (0, beam.steps), dose_shape
     )
+    # static inverse transform for K6 (eager host computation, concrete
+    # leaves — required by the separable-geometry detection at trace time)
+    d2f = invert_and_shift_fan_from_idx(
+        ray_to_dose, np.asarray([float(pad), float(pad), 0.0], np.float32)
+    )
+    d2f = jax.tree_util.tree_map(np.asarray, d2f)
     return BeamStatic(
         grid=grid,
         steps=beam.steps,
@@ -162,6 +169,7 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
         bbox_max=bbox_max,
         ray_to_im=ray_to_im,
         ray_to_dose=ray_to_dose,
+        d2f=d2f,
         spot_delta=(float(beam.spot_idx_to_gantry.delta[0]),
                     float(beam.spot_idx_to_gantry.delta[1])),
         spot_offset=(float(beam.spot_idx_to_gantry.offset[0]),
@@ -304,18 +312,11 @@ def compute_beam_dose(
     bev0 = jnp.zeros((W, nry + 2 * static.pad, nrx + 2 * static.pad), ct.dtype)
     bev_dose, first_passives = jax.lax.scan(body, bev0, (layers, ray_weights))
 
-    # ---- K6: transfer (window z origin folded into the fan shift, like the
-    # reference's invertAndShift(maxR, maxR, -beamFirstInside)) ----
-    d2f = invert_and_shift_fan_from_idx(
-        _to_jnp_transform(static.ray_to_dose),
-        jnp.stack([
-            jnp.asarray(static.pad, ct.dtype),
-            jnp.asarray(static.pad, ct.dtype),
-            -z0.astype(ct.dtype),
-        ]),
-    )
+    # ---- K6: transfer (window z origin folded into the traced z shift, like
+    # the reference's invertAndShift(maxR, maxR, -beamFirstInside)) ----
     dose = transfer.transfer_bev_to_dose(
-        dose, bev_dose, d2f, static.bbox_min, static.bbox_max
+        dose, bev_dose, static.d2f, static.bbox_min, static.bbox_max,
+        z_shift=-z0.astype(ct.dtype),
     )
     return dose
 

@@ -113,12 +113,22 @@ def trace_density_and_sp(
       first_outside = 1 + (last step with HU > 150)
     become mask counts / reversed argmax over precomputed arrays.
     """
-    start, inc, step_len = ray_start_inc(t, ray_dims)
-    kk = jnp.arange(steps, dtype=start.dtype)
-    # (S, Y, X, 3) sample positions at voxel centres
-    pos = start[None] + kk[:, None, None, None] * inc[None]
+    from .resample import fan_from_idx_plan, separable_resample
 
-    hu = trilinear_border(ct_vol, pos)                          # (S, Y, X)
+    plan = fan_from_idx_plan(t, ray_dims, steps)
+    if plan is not None:
+        # axis-separable gantry (signed scaled permutation): exact 3-pass
+        # trilinear resample — bandwidth-bound instead of gather-bound
+        perm, make_coords = plan
+        c0, c1, c2 = make_coords()
+        hu = separable_resample(jnp.transpose(ct_vol, perm), c0, c1, c2)
+        _, _, step_len = ray_start_inc(t, ray_dims)
+    else:
+        start, inc, step_len = ray_start_inc(t, ray_dims)
+        kk = jnp.arange(steps, dtype=start.dtype)
+        # (S, Y, X, 3) sample positions at voxel centres
+        pos = start[None] + kk[:, None, None, None] * inc[None]
+        hu = trilinear_border(ct_vol, pos)                      # (S, Y, X)
     density = lut1d_fast(density_lut, hu * density_scale)
     sp = lut1d_fast(sp_lut, hu * sp_scale)
     cumul_sp = jnp.cumsum(sp * step_len[None], axis=0)
