@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -108,6 +109,15 @@ class BeamStatic:
     d2f: object                         # static FanToIdxTransform (pad-shifted)
     spot_delta: Tuple[float, float]     # spotIdxToGantry lateral delta/offset
     spot_offset: Tuple[float, float]
+    # nuclear-halo statics (None when the mode is off; kernel_wrapper.cu:665-667,884-908)
+    nuc_dims: Optional[Tuple[int, int]] = None   # tile-rounded spot grid (nx, ny)
+    nuc_map_x: Optional[np.ndarray] = None       # (Sx,) primary ray idx per spot
+    nuc_map_y: Optional[np.ndarray] = None       # (Sy,)
+    nuc_radius: int = 0
+    spot_dist: float = 1.0                       # spot spacing in ray units
+    nuc_d2f: object = None
+    nuc_bbox_min: Optional[Tuple[int, int, int]] = None
+    nuc_bbox_max: Optional[Tuple[int, int, int]] = None
 
 
 def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
@@ -157,6 +167,52 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
         ray_to_dose, np.asarray([float(pad), float(pad), 0.0], np.float32)
     )
     d2f = jax.tree_util.tree_map(np.asarray, d2f)
+
+    # nuclear-halo statics: the halo lives on the (tile-rounded) spot grid;
+    # each spot maps to the nearest primary ray (kernel_wrapper.cu:884-894)
+    nuc_kwargs = {}
+    if cfg.nuclear_enabled:
+        if tables.nuclear is None:
+            raise ValueError(f"nuclear mode {cfg.nuclear!r} needs nuclear tables")
+        sy, sx = beam.spot_weights.shape[1:]
+        tile = cfg.superp_tile
+        nuc_dims = (-(-sx // tile[0]) * tile[0], -(-sy // tile[1]) * tile[1])
+        sd = np.asarray(beam.spot_idx_to_gantry.delta, np.float64)
+        so = np.asarray(beam.spot_idx_to_gantry.offset, np.float64)
+        nuc_map_x = np.round(
+            (so[0] + np.arange(sx) * sd[0] - grid.ray_offset[0]) / grid.ray_res[0]
+        ).astype(np.int32)
+        nuc_map_y = np.round(
+            (so[1] + np.arange(sy) * sd[1] - grid.ray_offset[1]) / grid.ray_res[1]
+        ).astype(np.int32)
+        spot_dist = float(sd[0] / beam.ray_spacing[0])
+        nuc_to_dose = FanFromIdxTransform(
+            beam.spot_idx_to_gantry,
+            np.asarray(beam.source_dist, np.float32),
+            beam.gantry_to_dose_idx,
+        )
+        nuc_d2f = invert_and_shift_fan_from_idx(
+            nuc_to_dose, np.asarray([float(pad), float(pad), 0.0], np.float32)
+        )
+        nuc_d2f = jax.tree_util.tree_map(np.asarray, nuc_d2f)
+        nuc_bbox_min, nuc_bbox_max = transfer.dose_bbox(
+            nuc_to_dose, nuc_dims, pad, (0, beam.steps), dose_shape
+        )
+        # halo radius upper bound: MCS + worst tabulated halo sigma + entry
+        # sigma, in spot-grid pixels (reference formula kernel_wrapper.cuh:303)
+        nuc_sq_max = float(np.max(tables.nuclear.sq_sigma))
+        sigma_bound = math.sqrt(
+            (1.4 * 0.0294 * max_peak ** 0.896) ** 2 + nuc_sq_max
+            + float(np.max(beam.spot_sigmas)) ** 2
+        )
+        spot_px = px_w * spot_dist
+        nuc_radius = max(1, min(int(cfg.ks_sigma_cutoff * sigma_bound / spot_px + 0.5) + 1,
+                                cfg.max_superp_radius))
+        nuc_kwargs = dict(
+            nuc_dims=nuc_dims, nuc_map_x=nuc_map_x, nuc_map_y=nuc_map_y,
+            nuc_radius=nuc_radius, spot_dist=spot_dist, nuc_d2f=nuc_d2f,
+            nuc_bbox_min=nuc_bbox_min, nuc_bbox_max=nuc_bbox_max,
+        )
     return BeamStatic(
         grid=grid,
         steps=beam.steps,
@@ -174,6 +230,7 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
                     float(beam.spot_idx_to_gantry.delta[1])),
         spot_offset=(float(beam.spot_idx_to_gantry.offset[0]),
                      float(beam.spot_idx_to_gantry.offset[1])),
+        **nuc_kwargs,
     )
 
 
@@ -283,9 +340,16 @@ def compute_beam_dose(
 
     W = static.z_window
     z0 = jnp.clip(beam_first_inside, 0, S - W).astype(jnp.int32)
+    nuclear_on = cfg.nuclear_enabled and static.nuc_dims is not None
 
-    def layer_body(bev_acc, per_layer):
-        layer, rw = per_layer
+    def superpose(idd_w, rs_w, max_r, pad):
+        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
+        if on_tpu():
+            return superpose_pallas(idd_w, rs_w, rads, max_r, pad)
+        return superpose_masked_jnp(idd_w, rs_w, rads, max_r, pad)
+
+    def layer_body(acc, per_layer):
+        layer, rw, spot_w = per_layer
         fill = isig.fill_idd_and_sigma(
             tr.density, tr.cumul_sp, rw, tr.first_inside, tr.first_outside,
             beam_first_inside, layer, geom,
@@ -294,23 +358,48 @@ def compute_beam_dose(
             nuclear_mode=cfg.nuclear,
             bp_depth_cutoff=cfg.bp_depth_cutoff,
             ray_weight_cutoff=cfg.ray_weight_cutoff,
+            nuc_weight_tab=tables.nuc_weight if nuclear_on else None,
+            nuc_sq_sigma_tab=tables.nuc_sq_sigma if nuclear_on else None,
+            spot_dist=static.spot_dist,
         )
+        bev_acc, nuc_acc = acc
         idd_w = constrain(jax.lax.dynamic_slice(fill.idd, (z0, 0, 0), (W, nry, nrx)))
         rs_w = constrain(jax.lax.dynamic_slice(fill.r_sigma_eff, (z0, 0, 0), (W, nry, nrx)))
-        max_r = max(static.radii)
-        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
-        if on_tpu():
-            bev = superpose_pallas(idd_w, rs_w, rads, max_r, static.pad)
-        else:
-            bev = superpose_masked_jnp(idd_w, rs_w, rads, max_r, static.pad)
-        return bev_acc + bev, fill.first_passive
+        bev_acc = bev_acc + superpose(idd_w, rs_w, max(static.radii), static.pad)
+
+        if nuclear_on:
+            # gather halo outputs onto the (tile-rounded) spot grid and scale
+            # by the raw spot weights (extendAndPadd + nucRayWeights,
+            # kernel_wrapper.cu:858-864,327-341)
+            nx_n, ny_n = static.nuc_dims
+            sy, sx = spot_w.shape
+            map_y = jnp.asarray(static.nuc_map_y)
+            map_x = jnp.asarray(static.nuc_map_x)
+            n_idd = jnp.take(jnp.take(fill.nuc_idd_unit, map_y, axis=1),
+                             map_x, axis=2) * spot_w[None]
+            n_rs = jnp.take(jnp.take(fill.nuc_r_sigma_eff, map_y, axis=1),
+                            map_x, axis=2)
+            n_idd = jnp.pad(n_idd, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)))
+            n_rs = jnp.pad(n_rs, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)),
+                           constant_values=isig.BIG_RSIGMA)
+            n_idd_w = jax.lax.dynamic_slice(n_idd, (z0, 0, 0), (W, ny_n, nx_n))
+            n_rs_w = jax.lax.dynamic_slice(n_rs, (z0, 0, 0), (W, ny_n, nx_n))
+            nuc_acc = nuc_acc + superpose(n_idd_w, n_rs_w, static.nuc_radius,
+                                          static.pad)
+        return (bev_acc, nuc_acc), fill.first_passive
 
     body = layer_body
     if cfg.remat_layers:
         body = jax.checkpoint(layer_body)
 
     bev0 = jnp.zeros((W, nry + 2 * static.pad, nrx + 2 * static.pad), ct.dtype)
-    bev_dose, first_passives = jax.lax.scan(body, bev0, (layers, ray_weights))
+    if nuclear_on:
+        nuc0 = jnp.zeros((W, static.nuc_dims[1] + 2 * static.pad,
+                          static.nuc_dims[0] + 2 * static.pad), ct.dtype)
+    else:
+        nuc0 = jnp.zeros((), ct.dtype)
+    (bev_dose, nuc_dose), first_passives = jax.lax.scan(
+        body, (bev0, nuc0), (layers, ray_weights, inputs.spot_weights))
 
     # ---- K6: transfer (window z origin folded into the traced z shift, like
     # the reference's invertAndShift(maxR, maxR, -beamFirstInside)) ----
@@ -318,11 +407,41 @@ def compute_beam_dose(
         dose, bev_dose, static.d2f, static.bbox_min, static.bbox_max,
         z_shift=-z0.astype(ct.dtype),
     )
+    if nuclear_on:
+        # halo transfer on the spot-grid fan (nucTransfDiv, kernel_wrapper.cu:100-128)
+        dose = transfer.transfer_bev_to_dose(
+            dose, nuc_dose, static.nuc_d2f, static.nuc_bbox_min,
+            static.nuc_bbox_max, z_shift=-z0.astype(ct.dtype),
+        )
     return dose
 
 
 def _to_jnp_transform(t: FanFromIdxTransform) -> FanFromIdxTransform:
     return jax.tree_util.tree_map(jnp.asarray, t)
+
+
+def _static_key(static: BeamStatic) -> str:
+    """Compiled-kernel cache key: every value baked into the traced program
+    must participate — two beams with equal shapes but different gantry
+    transforms are different programs."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(
+        (static.ray_to_im, static.ray_to_dose, static.d2f, static.nuc_d2f)
+    ):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    for m in (static.nuc_map_x, static.nuc_map_y):
+        if m is not None:
+            h.update(np.ascontiguousarray(m).tobytes())
+    h.update(repr((
+        static.grid, static.steps, static.n_layers, static.pad, static.radii,
+        static.z_window, static.dose_shape, static.bbox_min, static.bbox_max,
+        static.spot_delta, static.spot_offset, static.nuc_dims,
+        static.nuc_radius, static.spot_dist, static.nuc_bbox_min,
+        static.nuc_bbox_max,
+    )).encode())
+    return h.hexdigest()
 
 
 class DoseEngine:
@@ -342,8 +461,7 @@ class DoseEngine:
         return precompute_beam_static(beam, self.tables, self.cfg, dose_shape)
 
     def _kernel(self, static: BeamStatic):
-        key = (static.grid.ray_dims, static.steps, static.n_layers,
-               static.z_window, static.radii, static.bbox_min, static.bbox_max)
+        key = _static_key(static)
         if key not in self._kernels:
             cfg = self.cfg
             ray_sharding = self.ray_sharding

@@ -153,6 +153,8 @@ class FillResult(NamedTuple):
     cumul_mid: Array      # (S, Y, X) 0.5*(cumulSp + cumulSpOld)
     out_live: Array       # (S, Y, X) bool output-live mask
     d_cumul_dose: Array   # (S, Y, X) cumulDose - cumulDoseOld
+    nuc_idd_unit: Optional[Array] = None    # (S, Y, X) halo dose per unit spot weight
+    nuc_r_sigma_eff: Optional[Array] = None  # (S, Y, X) halo reciprocal sigma [1/spot-pixel]
 
 
 def fill_idd_and_sigma(
@@ -172,6 +174,9 @@ def fill_idd_and_sigma(
     nuclear_mode: Optional[str] = None,
     bp_depth_cutoff: float = 1.05,
     ray_weight_cutoff: float = 1.0,
+    nuc_weight_tab: Optional[Array] = None,   # (nE, nSamples) halo weight
+    nuc_sq_sigma_tab: Optional[Array] = None,  # (nE, nSamples) halo sigma^2
+    spot_dist: float = 1.0,                   # spot spacing in ray units
 ) -> FillResult:
     S = density.shape[0]
     f32 = density.dtype
@@ -252,7 +257,18 @@ def fill_idd_and_sigma(
         mass = density * geom.step_vol[:, None, None]
 
     valid = body_live & (mass > MASS_EPS)
-    res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
+    nuclear_on = nuc_weight_tab is not None
+    if nuclear_on:
+        # halo split (kernel_wrapper.cu:320-341): primary dose scaled by
+        # (1 - nucWeight); halo dose per unit spot weight on the coarse
+        # spot grid, divided by the spot/ray area ratio
+        nuc_w = lut2d_scalar_row_fast(
+            nuc_weight_tab, cumul_mid * layer.energy_scale, layer.energy_idx)
+        res_now = (1.0 - nuc_w) * ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
+        sdist = jnp.asarray(spot_dist, f32)
+        nuc_res_now = nuc_w * d_dose / (jnp.where(valid, mass, 1.0) * sdist * sdist)
+    else:
+        res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
     # ``res`` carries its previous value across steps whose mass is below the
     # epsilon (the reference never resets it): forward-fill as an associative
     # scan with the "last valid value" operator (log2(S) elementwise rounds —
@@ -265,6 +281,21 @@ def fill_idd_and_sigma(
         _last_valid, (jnp.where(valid, res_now, 0.0), valid), axis=0
     )
     idd = jnp.where(out_live, res, 0.0)
+
+    nuc_idd_unit = None
+    nuc_r_sigma_eff = None
+    if nuclear_on:
+        nuc_res, _ = jax.lax.associative_scan(
+            _last_valid, (jnp.where(valid, nuc_res_now, 0.0), valid), axis=0
+        )
+        nuc_idd_unit = jnp.where(out_live, nuc_res, 0.0)
+        nuc_sq = lut2d_scalar_row_fast(
+            nuc_sq_sigma_tab, cumul_mid * layer.energy_scale, layer.energy_idx)
+        nuc_sigma = jnp.sqrt(jnp.maximum(
+            sigma_sq + nuc_sq + layer.entry_sigma_sq, 1e-12))
+        nuc_r_sigma_eff = (jnp.asarray(spot_dist, f32)
+                           * geom.half_vw_sum[:, None, None] / (SQRT2 * nuc_sigma))
+        nuc_r_sigma_eff = jnp.where(out_live, nuc_r_sigma_eff, BIG_RSIGMA)
 
     first_passive = jnp.where(
         live0, jnp.where(t_step < layer.after_last, t_step, after_last_init), 0
@@ -279,6 +310,8 @@ def fill_idd_and_sigma(
         cumul_mid=cumul_mid,
         out_live=out_live,
         d_cumul_dose=d_dose,
+        nuc_idd_unit=nuc_idd_unit,
+        nuc_r_sigma_eff=nuc_r_sigma_eff,
     )
 
 
@@ -294,12 +327,17 @@ def fill_golden_numpy(
     cidd, rrl_lut, rrl_scale,
     dose_to_water=True, nuclear_mode=None,
     bp_depth_cutoff=1.05, ray_weight_cutoff=1.0,
+    nuc_weight_tab=None, nuc_sq_sigma_tab=None, spot_dist=1.0,
+    entry_sigma_sq=0.0,
 ):
     e_ref_sq, sigma_delta = SCATTER_CONSTANTS[nuclear_mode]
     S, ny, nx = density.shape
     idd = np.zeros((S, ny, nx), np.float32)
     rsig = np.full((S, ny, nx), np.float32(BIG_RSIGMA))
     first_passive = np.zeros((ny, nx), np.int32)
+    nuclear_on = nuc_weight_tab is not None
+    nuc_idd = np.zeros((S, ny, nx), np.float32)
+    nuc_rsig = np.full((S, ny, nx), np.float32(BIG_RSIGMA))
 
     def tex1d(tab, c):
         c = min(max(c, 0.0), len(tab) - 1.0)
@@ -328,7 +366,9 @@ def fill_golden_numpy(
                 beam_live = False
                 after = 0
             res = 0.0
+            nuc_res = 0.0
             r_sigma_eff = float(BIG_RSIGMA)
+            nuc_r_sigma_eff = float(BIG_RSIGMA)
             c_sp_old = 0.0
             c_dose_old = 0.0
             inc_scat = 0.0
@@ -361,15 +401,31 @@ def fill_golden_numpy(
                         mass = (c_sp - c_sp_old) * step_vol[step]
                     else:
                         mass = dens * step_vol[step]
-                    if mass > MASS_EPS:
+                    mid = 0.5 * (c_sp + c_sp_old)
+                    if nuclear_on:
+                        if mass > MASS_EPS:
+                            nw = tex2d(nuc_weight_tab, mid * energy_scale, energy_idx)
+                            res = (1.0 - nw) * w * (c_dose - c_dose_old) / mass
+                            nuc_res = nw * (c_dose - c_dose_old) / (
+                                mass * spot_dist * spot_dist)
+                        nsq = tex2d(nuc_sq_sigma_tab, mid * energy_scale, energy_idx)
+                        nuc_r_sigma_eff = spot_dist * half_vw_sum[step] / (
+                            SQRT2 * np.sqrt(max(sigma_sq + nsq + entry_sigma_sq, 1e-12)))
+                    elif mass > MASS_EPS:
                         res = w * (c_dose - c_dose_old) / mass
                     c_sp_old = c_sp
                     c_dose_old = c_dose
                 if (not beam_live) or step < first_in - 1:
                     out_res, out_rsig = 0.0, float(BIG_RSIGMA)
+                    out_nres, out_nrsig = 0.0, float(BIG_RSIGMA)
                 else:
                     out_res, out_rsig = res, r_sigma_eff
+                    out_nres, out_nrsig = nuc_res, nuc_r_sigma_eff
                 idd[step, j, i] = out_res
                 rsig[step, j, i] = out_rsig
+                nuc_idd[step, j, i] = out_nres
+                nuc_rsig[step, j, i] = out_nrsig
             first_passive[j, i] = after
+    if nuclear_on:
+        return idd, rsig, first_passive, nuc_idd, nuc_rsig
     return idd, rsig, first_passive

@@ -93,3 +93,66 @@ def test_dose_scales_linearly_with_weights(tables):
     beam2 = beam._replace(spot_weights=2.0 * beam.spot_weights)
     d2 = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam2]))
     np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-4, atol=1e-5 * d1.max())
+
+
+@pytest.mark.parametrize("mode", ["soukup", "fluka", "gauss_fit"])
+def test_nuclear_modes_run(mode):
+    from raytracedicom_tpu.physics.tables import load_physics_tables as _load
+    tables_n = _load(water_cube=True, nuclear=mode)
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+    beam = _mini_beam(tables_n)
+    eng = DoseEngine(tables_n, EngineConfig(nuclear=mode))
+    dose = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam]))
+    assert np.all(np.isfinite(dose))
+    assert dose.max() > 0
+    # the halo must spread dose laterally: compare the off-axis fraction
+    eng0 = DoseEngine(load_physics_tables(water_cube=True), EngineConfig())
+    dose0 = np.asarray(eng0.compute_dose(jnp.asarray(ct), [beam]))
+    # integrated dose should be in the same ballpark (halo redistributes,
+    # not creates); fit mode rescales entry sigmas so allow a loose band
+    assert 0.5 * dose0.sum() < dose.sum() < 2.0 * dose0.sum()
+    k = int(np.argmax(dose0[:, 36, 36]))
+    # fraction of slice dose outside a 10-voxel-radius box around the axis
+    def halo_frac(d):
+        s = d[k]
+        box = s[26:46, 26:46].sum()
+        return (s.sum() - box) / s.sum()
+    assert halo_frac(dose) > halo_frac(dose0) - 1e-6
+
+
+def test_multi_beam_rotated_gantries(tables):
+    """BASELINE config 2 analogue: three fields at gantry 0/90/180 degrees.
+    The reference throws on multi-beam (main.cu:117-120); here fields sum.
+    On the symmetric water phantom, G000+G180 must be symmetric under z-flip
+    about the iso plane, and the 3-beam dose must equal the sum of the
+    single-beam doses."""
+    from raytracedicom_tpu.geometry.transforms import np_affine, np_idx
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+
+    def beam_with_rot(rot):
+        b = _mini_beam(tables)
+        m = np.asarray(b.gantry_to_im_idx.m) @ rot.astype(np.float32)
+        return b._replace(gantry_to_im_idx=np_affine(m, b.gantry_to_im_idx.v),
+                          gantry_to_dose_idx=np_affine(m, b.gantry_to_im_idx.v))
+
+    g000 = beam_with_rot(np.eye(3, dtype=np.float32))
+    # gantry rotation about the y axis: beam z -> image +/-x
+    g090 = beam_with_rot(np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32))
+    g180 = beam_with_rot(np.diag(np.array([-1.0, 1.0, -1.0], np.float32)))
+
+    eng = DoseEngine(tables, EngineConfig())
+    d0 = np.asarray(eng.compute_dose(jnp.asarray(ct), [g000]))
+    d90 = np.asarray(eng.compute_dose(jnp.asarray(ct), [g090]))
+    d180 = np.asarray(eng.compute_dose(jnp.asarray(ct), [g180]))
+    dsum = np.asarray(eng.compute_dose(jnp.asarray(ct), [g000, g090, g180]))
+
+    assert d0.max() > 0 and d90.max() > 0 and d180.max() > 0
+    np.testing.assert_allclose(dsum, d0 + d90 + d180, rtol=1e-5,
+                               atol=1e-6 * dsum.max())
+    # G180 enters from the opposite z face: its depth-dose mirrors G000's
+    a0 = d0[:, 36, 36]
+    a180 = d180[:, 36, 36]
+    np.testing.assert_allclose(a0, a180[::-1], rtol=2e-2, atol=2e-3 * a0.max())
+    # G090 travels along x: its axis profile matches G000's along z
+    a90 = d90[36, 36, :]
+    np.testing.assert_allclose(np.max(a90), np.max(a0), rtol=5e-2)

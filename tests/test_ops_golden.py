@@ -197,3 +197,81 @@ def test_superposition_conserves_dose():
     rsig = np.full((1, 16, 16), 0.9, np.float32)
     out = sup.superpose(jnp.asarray(idd), jnp.asarray(rsig), 6, 8)
     assert abs(float(jnp.sum(out)) - 5.0) < 1e-3
+
+
+def test_fill_nuclear_matches_golden():
+    """Nuclear-halo split (fillIddAndSigma NUCLEAR_CORR branch,
+    kernel_wrapper.cu:320-341): primary scaled by (1-nucWeight), halo dose
+    and reciprocal sigma vs the sequential golden model."""
+    rng = np.random.default_rng(23)
+    S, Y, X = 40, 4, 4
+    density = np.full((S, Y, X), 1.0, np.float32)
+    density[:6] = 0.0012
+    step_len = 1.0
+    sp = np.where(density > 0.5, 1.0, 0.001).astype(np.float32)
+    cumul_sp = np.cumsum(sp * step_len, axis=0).astype(np.float32)
+    ray_weights = rng.uniform(0.5, 120, size=(Y, X)).astype(np.float32)
+    first_inside = np.full((Y, X), 6, np.int32)
+    first_outside = np.full((Y, X), S, np.int32)
+    first_step = 4
+    cidd = np.cumsum(rng.uniform(0.5, 1.5, size=(3, 64)), axis=1).astype(np.float32)
+    rrl_lut = np.linspace(0.01, 0.03, 64).astype(np.float32)
+    nuc_w = np.clip(rng.uniform(0.0, 0.4, size=(3, 64)), 0, 1).astype(np.float32)
+    nuc_sq = rng.uniform(1.0, 40.0, size=(3, 64)).astype(np.float32)
+
+    peak = np.float32(25.0)
+    energy_idx = np.float32(1.3)
+    energy_scale = np.float32(1.7)
+    after_last = np.int32(36)
+    a = 0.00270 / (peak - 4.50)
+    b = -4.39 / (peak - 3.86)
+    air_quad = np.float32(a * 1.0)
+    air_lin = np.float32(2.0 * a * (-1.0) * 20.0 + b * (-1.0))
+    half_vw = np.full(S, 1.0, np.float32)
+    step_vol = np.full(S, 1.0, np.float32)
+    spot_dist = 3.0
+    entry_sq = 4.5
+
+    geom = isig.StepGeometry(
+        half_vw_sum=jnp.asarray(half_vw),
+        step_vol=jnp.asarray(step_vol),
+        step_length=jnp.float32(step_len),
+        delta_z=jnp.float32(-1.0),
+        corner_z=jnp.float32(20.0),
+    )
+    layer = isig.LayerScalars(
+        energy_idx=jnp.float32(energy_idx),
+        energy_scale=jnp.float32(energy_scale),
+        peak_depth=jnp.float32(peak),
+        after_last=jnp.int32(after_last),
+        air_lin=jnp.float32(air_lin),
+        air_quad=jnp.float32(air_quad),
+        entry_sigma_sq=jnp.float32(entry_sq),
+    )
+    got = isig.fill_idd_and_sigma(
+        jnp.asarray(density), jnp.asarray(cumul_sp), jnp.asarray(ray_weights),
+        jnp.asarray(first_inside), jnp.asarray(first_outside),
+        jnp.int32(first_step), layer, geom,
+        jnp.asarray(cidd), jnp.asarray(rrl_lut), jnp.float32(30.0),
+        nuclear_mode="fluka",
+        nuc_weight_tab=jnp.asarray(nuc_w),
+        nuc_sq_sigma_tab=jnp.asarray(nuc_sq),
+        spot_dist=spot_dist,
+    )
+    g_idd, g_rsig, g_fp, g_nidd, g_nrsig = isig.fill_golden_numpy(
+        density, cumul_sp, ray_weights, first_inside, first_outside, first_step,
+        energy_idx, energy_scale, peak, after_last,
+        air_lin, air_quad, step_len, half_vw, step_vol,
+        cidd, rrl_lut, 30.0,
+        nuclear_mode="fluka",
+        nuc_weight_tab=nuc_w, nuc_sq_sigma_tab=nuc_sq,
+        spot_dist=spot_dist, entry_sigma_sq=entry_sq,
+    )
+    np.testing.assert_allclose(got.idd, g_idd, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got.nuc_idd_unit, g_nidd, rtol=2e-4, atol=1e-5)
+    live = np.asarray(got.nuc_r_sigma_eff) < 1e9
+    np.testing.assert_array_equal(live, g_nrsig < 1e9)
+    np.testing.assert_allclose(
+        np.asarray(got.nuc_r_sigma_eff)[live], g_nrsig[live], rtol=5e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(got.first_passive, g_fp)
