@@ -342,6 +342,25 @@ def compute_beam_dose(
     z0 = jnp.clip(beam_first_inside, 0, S - W).astype(jnp.int32)
     nuclear_on = cfg.nuclear_enabled and static.nuc_dims is not None
 
+    # ---- depth-window the per-layer inputs: every step before z0 is
+    # outside the patient (z0 <= beamFirstInside) and every step after
+    # z0+W is past the deepest Bragg cutoff, so the layer loop only ever
+    # touches W of the S traced steps ----
+    dens_w = jax.lax.dynamic_slice(tr.density, (z0, 0, 0), (W, nry, nrx))
+    csp_w = jax.lax.dynamic_slice(tr.cumul_sp, (z0, 0, 0), (W, nry, nrx))
+    geom_w = geom._replace(
+        half_vw_sum=jax.lax.dynamic_slice(geom.half_vw_sum, (z0,), (W,)),
+        step_vol=jax.lax.dynamic_slice(geom.step_vol, (z0,), (W,)),
+    )
+    first_inside_rel = tr.first_inside - z0
+    first_outside_rel = tr.first_outside - z0
+    first_step_rel = beam_first_inside - z0
+
+    # layer-independent: density / radiation length (hoisted out of the
+    # per-layer loop — the reference recomputes it per layer per step,
+    # kernel_wrapper.cu:293-297, because it has no cross-layer reuse)
+    r_rl = dens_w * isig.lut1d_fast(tables.rrl, dens_w * tables.rrl_scale)
+
     def superpose(idd_w, rs_w, max_r, pad):
         rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
         if on_tpu():
@@ -350,9 +369,11 @@ def compute_beam_dose(
 
     def layer_body(acc, per_layer):
         layer, rw, spot_w = per_layer
+        layer = layer._replace(
+            after_last=jnp.clip(layer.after_last - z0, 0, W).astype(jnp.int32))
         fill = isig.fill_idd_and_sigma(
-            tr.density, tr.cumul_sp, rw, tr.first_inside, tr.first_outside,
-            beam_first_inside, layer, geom,
+            dens_w, csp_w, rw, first_inside_rel, first_outside_rel,
+            first_step_rel, layer, geom_w,
             tables.cidd, tables.rrl, tables.rrl_scale,
             dose_to_water=cfg.dose_to_water,
             nuclear_mode=cfg.nuclear,
@@ -361,10 +382,12 @@ def compute_beam_dose(
             nuc_weight_tab=tables.nuc_weight if nuclear_on else None,
             nuc_sq_sigma_tab=tables.nuc_sq_sigma if nuclear_on else None,
             spot_dist=static.spot_dist,
+            r_rl=r_rl,
+            first_step_abs=beam_first_inside,
         )
         bev_acc, nuc_acc = acc
-        idd_w = constrain(jax.lax.dynamic_slice(fill.idd, (z0, 0, 0), (W, nry, nrx)))
-        rs_w = constrain(jax.lax.dynamic_slice(fill.r_sigma_eff, (z0, 0, 0), (W, nry, nrx)))
+        idd_w = constrain(fill.idd)
+        rs_w = constrain(fill.r_sigma_eff)
         bev_acc = bev_acc + superpose(idd_w, rs_w, max(static.radii), static.pad)
 
         if nuclear_on:
@@ -382,9 +405,7 @@ def compute_beam_dose(
             n_idd = jnp.pad(n_idd, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)))
             n_rs = jnp.pad(n_rs, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)),
                            constant_values=isig.BIG_RSIGMA)
-            n_idd_w = jax.lax.dynamic_slice(n_idd, (z0, 0, 0), (W, ny_n, nx_n))
-            n_rs_w = jax.lax.dynamic_slice(n_rs, (z0, 0, 0), (W, ny_n, nx_n))
-            nuc_acc = nuc_acc + superpose(n_idd_w, n_rs_w, static.nuc_radius,
+            nuc_acc = nuc_acc + superpose(n_idd, n_rs, static.nuc_radius,
                                           static.pad)
         return (bev_acc, nuc_acc), fill.first_passive
 

@@ -177,6 +177,10 @@ def fill_idd_and_sigma(
     nuc_weight_tab: Optional[Array] = None,   # (nE, nSamples) halo weight
     nuc_sq_sigma_tab: Optional[Array] = None,  # (nE, nSamples) halo sigma^2
     spot_dist: float = 1.0,                   # spot spacing in ray units
+    r_rl: Optional[Array] = None,             # precomputed density/X0 (layer-independent)
+    first_step_abs: Optional[Array] = None,   # absolute beamFirstInside when the
+                                              # inputs are a depth window (air-div
+                                              # origin, kernel_wrapper.cu:250-251)
 ) -> FillResult:
     S = density.shape[0]
     f32 = density.dtype
@@ -215,12 +219,14 @@ def fill_idd_and_sigma(
         jnp.maximum(layer.peak_depth - cumul_mid, 1e-6), P_INV
     )
     beta_p = res_e + PROTON_MASS - PROTON_MASS * PROTON_MASS / (res_e + PROTON_MASS)
-    r_rl = density * lut1d_fast(rrl_lut, density * rrl_scale)
+    if r_rl is None:
+        r_rl = density * lut1d_fast(rrl_lut, density * rrl_scale)
     theta_sq = e_ref_sq / (beta_p * beta_p) * geom.step_length * r_rl
     tick = jnp.where(upd, 2.0 * theta_sq * geom.step_length * geom.step_length, 0.0)
 
     updf = upd.astype(f32)
-    inc_div0 = layer.air_lin + (2.0 * first_step.astype(f32) - 1.0) * layer.air_quad
+    fs_abs = first_step if first_step_abs is None else first_step_abs
+    inc_div0 = layer.air_lin + (2.0 * fs_abs.astype(f32) - 1.0) * layer.air_quad
     upd_count_before = jnp.cumsum(updf, axis=0) - updf        # updates strictly before n
     inc_div_prev = inc_div0 + 2.0 * layer.air_quad * upd_count_before
     inc_div_after = inc_div_prev + 2.0 * layer.air_quad * updf
@@ -240,7 +246,12 @@ def fill_idd_and_sigma(
         dip = 1.5 * (inc_scat_after + inc_div_after) * cum_post_density
         sigma_sq = jnp.where(pre, sigma_sq_pre, sigma_sq_pre - dip)
 
-    sigma = jnp.sqrt(jnp.maximum(sigma_sq, 0.0)) + sigma_delta
+    # double-where so sqrt'(0)=inf never meets a zero cotangent (NaN guard:
+    # sigma_sq < 0 before the first MCS update by construction)
+    sig_pos = sigma_sq > 0.0
+    sigma = jnp.where(sig_pos,
+                      jnp.sqrt(jnp.where(sig_pos, sigma_sq, 1.0)),
+                      0.0) + sigma_delta
     r_sigma_eff = geom.half_vw_sum[:, None, None] / (SQRT2 * sigma)
     r_sigma_eff = jnp.where(out_live, r_sigma_eff, BIG_RSIGMA)
 
