@@ -55,7 +55,12 @@ def read_ct_series(directory: str) -> Tuple[np.ndarray, AffineTransform]:
     """Returns (volume[Z, Y, X] in HU+1000, imIdxToWorld affine).
 
     The affine maps (x=col, y=row, z=slice) indices to patient mm, matching
-    the reference's Float3AffineTransform(imDir*imSpacing, imOrigin)."""
+    the reference's Float3AffineTransform(imDir*imSpacing, imOrigin).
+    Uses the native C++ reader (native/fastdicom.cpp) when built; falls back
+    to the pure-Python parser."""
+    native_result = _read_ct_series_native(directory)
+    if native_result is not None:
+        return native_result
     slices: List[parser.Dataset] = []
     for path in parser.list_dicom_files(directory):
         try:
@@ -89,3 +94,45 @@ def read_ct_series(directory: str) -> Tuple[np.ndarray, AffineTransform]:
     direction = np.stack([x_dir, y_dir, normal], axis=1)
     spacing = np.diag([float(spacing_rc[1]), float(spacing_rc[0]), z_spacing])
     return vol.astype(np.float32), np_affine(direction @ spacing, origin)
+
+
+def _read_ct_series_native(directory: str):
+    """Native C++ path: probe + decode every slice through fastdicom.
+    Returns None (silent fallback) when the library is unavailable or any
+    slice fails to parse natively."""
+    from . import native
+
+    if not native.available():
+        return None
+    entries = []
+    for path in parser.list_dicom_files(directory):
+        meta = native.probe(path)
+        if meta is not None and meta["is_ct"]:
+            entries.append((path, meta))
+    if not entries:
+        return None
+
+    orient = entries[0][1]["orientation"]
+    x_dir, y_dir = orient[:3], orient[3:]
+    normal = np.cross(x_dir, y_dir)
+    entries.sort(key=lambda e: float(np.dot(e[1]["position"], normal)))
+
+    first = entries[0][1]
+    rows, cols = first["rows"], first["cols"]
+    origin = entries[0][1]["position"]
+    if len(entries) > 1:
+        z_spacing = float(np.dot(entries[1][1]["position"] - origin, normal))
+    else:
+        z_spacing = 1.0
+
+    vol = np.empty((len(entries), rows, cols), np.float32)
+    for k, (path, meta) in enumerate(entries):
+        if meta["rows"] != rows or meta["cols"] != cols:
+            return None
+        if not native.decode_into(path, vol[k], HU_OFFSET):
+            return None
+
+    direction = np.stack([x_dir, y_dir, normal], axis=1)
+    spacing = np.diag([first["pixel_spacing"][1], first["pixel_spacing"][0],
+                       z_spacing])
+    return vol, np_affine(direction @ spacing, origin)
