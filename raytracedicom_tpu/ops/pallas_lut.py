@@ -34,7 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 LANES = 128
-_BLOCK_ROWS = 512          # rows of 128 lanes per grid step (256 KB fp32)
+
+
+def _block_rows(groups: int) -> int:
+    """Rows of 128 lanes per grid step. The unrolled group loop materializes
+    one broadcast table tile per group on the Mosaic stack (2 tables x G x
+    block x 128 x 4B), so the block shrinks as the table grows to stay
+    inside the ~12 MB scoped-VMEM budget."""
+    budget = 12 * 2 ** 20
+    per_row = LANES * 4 * (2 * groups + 6)   # 2G broadcasts + 3 ios x2 buffers
+    rows = budget // per_row
+    return int(max(128, min(1024, (rows // 128) * 128)))
 
 
 def _lut_kernel(tab_main_ref, tab_next_ref, coord_ref, val_ref, slope_ref,
@@ -82,8 +92,9 @@ def _lut_interp_raw(table: Array, coords: Array):
     shape = coords.shape
     flat = coords.reshape(-1)
     total = flat.shape[0]
+    block = _block_rows(groups)
     rows = -(-total // LANES)
-    rows_pad = -(-rows // _BLOCK_ROWS) * _BLOCK_ROWS
+    rows_pad = -(-rows // block) * block
     flat = jnp.pad(flat, (0, rows_pad * LANES - total))
     c2 = flat.reshape(rows_pad, LANES)
 
@@ -94,15 +105,15 @@ def _lut_interp_raw(table: Array, coords: Array):
             jax.ShapeDtypeStruct((rows_pad, LANES), coords.dtype),
             jax.ShapeDtypeStruct((rows_pad, LANES), coords.dtype),
         ),
-        grid=(rows_pad // _BLOCK_ROWS,),
+        grid=(rows_pad // block,),
         in_specs=[
             pl.BlockSpec((groups, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((groups, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
     )(main, nxt, c2)
     val = val.reshape(-1)[:total].reshape(shape)

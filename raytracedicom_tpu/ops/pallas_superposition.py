@@ -48,19 +48,20 @@ def _erf(x):
 
 
 def _superp_kernel(rad_ref, d_ref, rs_ref, out_ref, wcache, tbuf, *,
-                   radius: int, pad: int, ny: int, nx: int):
-    """One depth slice. ``rad_ref`` (scalar-prefetched, (S,)) carries each
-    slice's required radius — the TPU analogue of the reference's per-tile
-    radius classification (tileRadCalc, kernel_wrapper.cuh:256-313): offsets
-    beyond the slice radius are skipped by predication, so cost scales with
-    the actual lateral spread instead of the worst case."""
+                   radius: int, pad: int, ny: int, nx: int, cz: int):
+    """One chunk of ``cz`` depth slices. ``rad_ref`` (scalar-prefetched,
+    (n_chunks,)) carries each chunk's required radius — the TPU analogue of
+    the reference's per-tile radius classification (tileRadCalc,
+    kernel_wrapper.cuh:256-313): offsets beyond the chunk radius are skipped
+    by predication, so cost scales with the actual lateral spread instead of
+    the worst case. Chunking amortizes the per-grid-step launch latency."""
     r = radius
     step = pl.program_id(0)
     rad = rad_ref[step]
-    d = d_ref[0]                                     # (Y, X)
-    rs = rs_ref[0]
+    d = d_ref[:]                                     # (cz, Y, X)
+    rs = rs_ref[:]
 
-    out_ref[0] = jnp.zeros((ny + 2 * pad, nx + 2 * pad), d.dtype)
+    out_ref[:] = jnp.zeros((cz, ny + 2 * pad, nx + 2 * pad), d.dtype)
 
     @pl.when(rad >= 0)
     def _():
@@ -72,23 +73,23 @@ def _superp_kernel(rad_ref, d_ref, rs_ref, out_ref, wcache, tbuf, *,
             def _(k=k):
                 wcache[k] = 0.5 * (_erf(rs * (k + 0.5)) - _erf(rs * (k - 0.5)))
 
-        # pass 1: x-scatter into t[ky] (Y, X + 2*pad)
+        # pass 1: x-scatter into t[ky] (cz, Y, X + 2*pad)
         px = pad
         for ky in range(r + 1):
             @pl.when(ky <= rad)
             def _(ky=ky):
                 base = d * wcache[ky]
-                tbuf[ky] = jnp.zeros((ny, nx + 2 * pad), d.dtype)
+                tbuf[ky] = jnp.zeros((cz, ny, nx + 2 * pad), d.dtype)
                 for dx in range(-r, r + 1):
                     @pl.when(abs(dx) <= rad)
                     def _(dx=dx):
-                        tbuf[ky, :, px + dx: px + dx + nx] += base * wcache[abs(dx)]
+                        tbuf[ky, :, :, px + dx: px + dx + nx] += base * wcache[abs(dx)]
 
         # pass 2: y-scatter into the padded output
         for dy in range(-r, r + 1):
             @pl.when(abs(dy) <= rad)
             def _(dy=dy):
-                out_ref[0, pad + dy: pad + dy + ny, :] += tbuf[abs(dy)]
+                out_ref[:, pad + dy: pad + dy + ny, :] += tbuf[abs(dy)]
 
 
 def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
@@ -104,33 +105,52 @@ def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
     return jnp.where(dead, -1, rad)
 
 
+def _pick_chunk(radius: int, Y: int, X: int, pad: int,
+                vmem_budget: int = 8 * 2 ** 20) -> int:
+    """Largest depth chunk whose scratch (wcache + tbuf) fits the budget."""
+    per_slice = (radius + 1) * (Y * X + Y * (X + 2 * pad)) * 4
+    cz = max(1, vmem_budget // max(per_slice, 1))
+    return int(min(cz, 8))
+
+
 def superpose_pallas_raw(idd: Array, rs: Array, rad_steps: Array,
                          radius: int, pad: int) -> Array:
-    """(S, Y, X) -> (S, Y+2*pad, X+2*pad); per-slice adaptive radius with
+    """(S, Y, X) -> (S, Y+2*pad, X+2*pad); per-chunk adaptive radius with
     static upper bound ``radius``."""
     if pad < radius:
         raise ValueError("pad must cover radius")
     S, Y, X = idd.shape
-    kern = functools.partial(_superp_kernel, radius=radius, pad=pad, ny=Y, nx=X)
+    cz = _pick_chunk(radius, Y, X, pad)
+    n_chunks = -(-S // cz)
+    s_pad = n_chunks * cz
+    if s_pad != S:
+        idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (0, 0)))
+        rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (0, 0)), constant_values=1e10)
+        rad_steps = jnp.pad(rad_steps, (0, s_pad - S), constant_values=-1)
+    chunk_rads = jnp.max(rad_steps.reshape(n_chunks, cz), axis=1)
+
+    kern = functools.partial(_superp_kernel, radius=radius, pad=pad,
+                             ny=Y, nx=X, cz=cz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, Y, X), lambda i, rad_ref: (i, 0, 0)),
-            pl.BlockSpec((1, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Y + 2 * pad, X + 2 * pad),
+        out_specs=pl.BlockSpec((cz, Y + 2 * pad, X + 2 * pad),
                                lambda i, rad_ref: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((radius + 1, Y, X), idd.dtype),
-            pltpu.VMEM((radius + 1, Y, X + 2 * pad), idd.dtype),
+            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
+            pltpu.VMEM((radius + 1, cz, Y, X + 2 * pad), idd.dtype),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((S, Y + 2 * pad, X + 2 * pad), idd.dtype),
+        out_shape=jax.ShapeDtypeStruct((s_pad, Y + 2 * pad, X + 2 * pad), idd.dtype),
         grid_spec=grid_spec,
-    )(rad_steps, idd, rs)
+    )(chunk_rads, idd, rs)
+    return out[:S]
 
 
 def superpose_masked_jnp(idd: Array, rs: Array, rad_steps: Array,
@@ -153,6 +173,140 @@ def superpose_masked_jnp(idd: Array, rs: Array, rad_steps: Array,
     return out
 
 
+def _superp_bwd_kernel(rad_ref, d_ref, rs_ref, g_ref, gd_ref, grs_ref,
+                       wcache, dwcache, rj_buf, rpj_buf, *, radius: int,
+                       pad: int, ny: int, nx: int, cz: int):
+    """Backward of the superposition w.r.t. (idd, rs).
+
+    In the adjoint the weights live at the DESTINATION index, so the sum
+    factorizes without any per-source coupling:
+
+      g_d[y,x]  = sum_{j,k} w[j] * w[k] * Q_{jk}[y,x]
+      g_rs[y,x] = d[y,x] * sum_{j,k} (dw[j] w[k] + w[j] dw[k]) * Q_{jk}
+      Q_{jk}    = sum of the <= 4 G-window reads at offsets (+-j, +-k)
+
+    where dw_k = d w_k / d rs = (1/sqrt(pi)) * ((k+1/2) e_k - (k-1/2) e_{k-1})
+    with e_k = exp(-(rs (k+1/2))^2). Per j: accumulate R_j = sum_k w[k] Q_jk
+    and R'_j = sum_k dw[k] Q_jk, then g_d += w[j] R_j and
+    g_rs_acc += dw[j] R_j + w[j] R'_j."""
+    r = radius
+    step = pl.program_id(0)
+    rad = rad_ref[step]
+    d = d_ref[:]
+    rs = rs_ref[:]
+    INV_SQRT_PI = 0.5641895835477563
+
+    gd_ref[:] = jnp.zeros((cz, ny, nx), d.dtype)
+    grs_ref[:] = jnp.zeros((cz, ny, nx), d.dtype)
+
+    @pl.when(rad >= 0)
+    def _():
+        # weights + weight derivatives, k = 0..rad
+        e_prev = jnp.exp(-(0.5 * rs) * (0.5 * rs))          # e_{-1} at |.|
+        wcache[0] = _erf(0.5 * rs)
+        dwcache[0] = INV_SQRT_PI * (0.5 * e_prev - (-0.5) * e_prev)
+        for k in range(1, r + 1):
+            @pl.when(k <= rad)
+            def _(k=k):
+                a_hi = rs * (k + 0.5)
+                a_lo = rs * (k - 0.5)
+                e_hi = jnp.exp(-a_hi * a_hi)
+                e_lo = jnp.exp(-a_lo * a_lo)
+                wcache[k] = 0.5 * (_erf(a_hi) - _erf(a_lo))
+                dwcache[k] = INV_SQRT_PI * ((k + 0.5) * e_hi - (k - 0.5) * e_lo)
+
+        def window(j, k):
+            # sum of the G windows at y-offset +-j and x-offset +-k
+            def win(dy, dx):
+                return g_ref[:, pad + dy: pad + dy + ny, pad + dx: pad + dx + nx]
+            q = win(j, k)
+            if k > 0:
+                q = q + win(j, -k)
+            if j > 0:
+                q = q + win(-j, k)
+                if k > 0:
+                    q = q + win(-j, -k)
+            return q
+
+        for j in range(r + 1):
+            @pl.when(j <= rad)
+            def _(j=j):
+                rj_buf[:] = jnp.zeros((cz, ny, nx), d.dtype)
+                rpj_buf[:] = jnp.zeros((cz, ny, nx), d.dtype)
+                for k in range(r + 1):
+                    @pl.when(k <= rad)
+                    def _(k=k, j=j):
+                        q = window(j, k)
+                        rj_buf[:] += wcache[k] * q
+                        rpj_buf[:] += dwcache[k] * q
+                gd_ref[:] += wcache[j] * rj_buf[:]
+                grs_ref[:] += dwcache[j] * rj_buf[:] + wcache[j] * rpj_buf[:]
+
+        grs_ref[:] = grs_ref[:] * d
+
+
+def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_steps: Array,
+                         radius: int, pad: int):
+    """Pallas adjoint: returns (g_idd, g_rs) given the padded output
+    cotangent ``g`` (S, Y+2*pad, X+2*pad)."""
+    S, Y, X = idd.shape
+    # same chunking as the forward pass so per-chunk radii (and therefore
+    # the weight truncation the adjoint differentiates) match exactly
+    cz = _pick_chunk(radius, Y, X, pad)
+    n_chunks = -(-S // cz)
+    s_pad = n_chunks * cz
+    if s_pad != S:
+        idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (0, 0)))
+        rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (0, 0)), constant_values=1e10)
+        g = jnp.pad(g, ((0, s_pad - S), (0, 0), (0, 0)))
+        rad_steps = jnp.pad(rad_steps, (0, s_pad - S), constant_values=-1)
+    chunk_rads = jnp.max(rad_steps.reshape(n_chunks, cz), axis=1)
+
+    kern = functools.partial(_superp_bwd_kernel, radius=radius, pad=pad,
+                             ny=Y, nx=X, cz=cz)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y + 2 * pad, X + 2 * pad),
+                         lambda i, rad_ref: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
+            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
+            pltpu.VMEM((cz, Y, X), idd.dtype),
+            pltpu.VMEM((cz, Y, X), idd.dtype),
+        ],
+    )
+    gd, grs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((s_pad, Y, X), idd.dtype),
+            jax.ShapeDtypeStruct((s_pad, Y, X), idd.dtype),
+        ),
+        grid_spec=grid_spec,
+    )(chunk_rads, idd, rs, g)
+    return gd[:S], grs[:S]
+
+
+def _effective_radii(rad_steps: Array, S: int, radius: int, pad: int,
+                     Y: int, X: int) -> Array:
+    """The truncation the chunked kernel actually applies: each slice uses
+    its chunk's max radius (>= its own), so the backward mirror must mask
+    with the same effective radii."""
+    cz = _pick_chunk(radius, Y, X, pad)
+    n_chunks = -(-S // cz)
+    padded = jnp.pad(rad_steps, (0, n_chunks * cz - S), constant_values=-1)
+    chunk_rads = jnp.max(padded.reshape(n_chunks, cz), axis=1)
+    return jnp.repeat(chunk_rads, cz)[:S]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def superpose_pallas(idd: Array, rs: Array, rad_steps: Array,
                      radius: int, pad: int) -> Array:
@@ -160,13 +314,20 @@ def superpose_pallas(idd: Array, rs: Array, rad_steps: Array,
 
 
 def _sup_fwd(idd, rs, rad_steps, radius, pad):
-    return superpose_pallas_raw(idd, rs, rad_steps, radius, pad), (idd, rs, rad_steps)
+    out = superpose_pallas_raw(idd, rs, rad_steps, radius, pad)
+    S, Y, X = idd.shape
+    eff = _effective_radii(rad_steps, S, radius, pad, Y, X)
+    return out, (idd, rs, eff)
 
 
 def _sup_bwd(radius, pad, res, g):
-    idd, rs, rad_steps = res
+    idd, rs, eff = res
+    from .pallas_lut import on_tpu
+    if on_tpu():
+        di, dr = superpose_bwd_pallas(idd, rs, g, eff, radius, pad)
+        return di, dr, None
     _, vjp = jax.vjp(
-        lambda a, b: superpose_masked_jnp(a, b, rad_steps, radius, pad), idd, rs
+        lambda a, b: superpose_masked_jnp(a, b, eff, radius, pad), idd, rs
     )
     di, dr = vjp(g)
     return di, dr, None
