@@ -41,7 +41,7 @@ def _block_rows(groups: int) -> int:
     one broadcast table tile per group on the Mosaic stack (2 tables x G x
     block x 128 x 4B), so the block shrinks as the table grows to stay
     inside the ~12 MB scoped-VMEM budget."""
-    budget = 12 * 2 ** 20
+    budget = 14 * 2 ** 20   # measured stack cost is (2G+6)*512B per row
     per_row = LANES * 4 * (2 * groups + 6)   # 2G broadcasts + 3 ios x2 buffers
     rows = budget // per_row
     return int(max(128, min(1024, (rows // 128) * 128)))

@@ -107,10 +107,12 @@ def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
 
 def _pick_chunk(radius: int, Y: int, X: int, pad: int,
                 vmem_budget: int = 8 * 2 ** 20) -> int:
-    """Largest depth chunk whose scratch (wcache + tbuf) fits the budget."""
-    per_slice = (radius + 1) * (Y * X + Y * (X + 2 * pad)) * 4
-    cz = max(1, vmem_budget // max(per_slice, 1))
-    return int(min(cz, 8))
+    """Depth slices per grid step. Measured on v5e: per-step launch latency
+    is negligible while a chunk's max-radius costs every slice in it the
+    radius of its widest neighbour (~5% on the watercube), so per-slice
+    processing wins. Kept as a tunable for geometries with tiny slices."""
+    del radius, Y, X, pad, vmem_budget
+    return 1
 
 
 def superpose_pallas_raw(idd: Array, rs: Array, rad_steps: Array,
