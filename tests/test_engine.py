@@ -156,3 +156,33 @@ def test_multi_beam_rotated_gantries(tables):
     # G090 travels along x: its axis profile matches G000's along z
     a90 = d90[36, 36, :]
     np.testing.assert_allclose(np.max(a90), np.max(a0), rtol=5e-2)
+
+
+def test_divergent_source_beam(tables):
+    """Finite source distance (point source): the engine must run the
+    divergent-fan path (voxel widths, step volumes, air divergence and the
+    transfer's perspective division all depend on 1 - z/sourceDist) and the
+    lateral profile must widen with depth faster than the parallel beam's."""
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+    b_par = _mini_beam(tables, n_layers=1)
+    b_div = b_par._replace(source_dist=(600.0, 600.0))
+    eng = DoseEngine(tables, EngineConfig())
+    d_par = np.asarray(eng.compute_dose(jnp.asarray(ct), [b_par]))
+    d_div = np.asarray(eng.compute_dose(jnp.asarray(ct), [b_div]))
+    assert np.isfinite(d_div).all() and d_div.max() > 0
+
+    def lateral_rms(d, k):
+        s = d[k]
+        if s.sum() <= 0:
+            return 0.0
+        yy, xx = np.mgrid[0:72, 0:72]
+        r2 = (yy - 36.0) ** 2 + (xx - 36.0) ** 2
+        return float((s * r2).sum() / s.sum())
+
+    k_peak = int(np.argmax(d_par[:, 36, 36]))
+    k_shallow = min(k_peak + 12, 71)
+    # between a shallow slice and the peak, the divergent beam's lateral
+    # spread must grow at least as fast as the parallel beam's
+    growth_par = lateral_rms(d_par, k_peak) - lateral_rms(d_par, k_shallow)
+    growth_div = lateral_rms(d_div, k_peak) - lateral_rms(d_div, k_shallow)
+    assert growth_div > growth_par - 1e-3, (growth_div, growth_par)
