@@ -437,10 +437,6 @@ def compute_beam_dose(
     return dose
 
 
-def _to_jnp_transform(t: FanFromIdxTransform) -> FanFromIdxTransform:
-    return jax.tree_util.tree_map(jnp.asarray, t)
-
-
 def _static_key(static: BeamStatic) -> str:
     """Compiled-kernel cache key: every value baked into the traced program
     must participate — two beams with equal shapes but different gantry

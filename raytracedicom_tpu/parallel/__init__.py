@@ -1,3 +1,4 @@
+from . import multihost
 from .sharding import (
     FIELD_AXIS,
     RAY_AXIS,
@@ -11,5 +12,6 @@ from .sharding import (
 
 __all__ = [
     "FIELD_AXIS", "RAY_AXIS", "batch_sharding", "make_mesh",
-    "make_sharded_dose_fn", "make_train_step", "ray_sharding", "replicated",
+    "make_sharded_dose_fn", "make_train_step", "multihost", "ray_sharding",
+    "replicated",
 ]
