@@ -160,3 +160,29 @@ def test_grad_ct_through_resample():
     fd = (float(hj(vol + dv)) - float(hj(vol - dv))) / 2.0
     got = float(jnp.vdot(gh, dv))
     assert abs(got - fd) < 2e-3 * max(abs(fd), 1.0), (got, fd)
+
+
+def test_grad_spot_sigmas(setup):
+    """Spot sigmas reach dose through the erf-diff pre-convolution and the
+    entry-sigma term of the lateral spread — both smooth."""
+    _, _, ct, inputs = setup
+    from raytracedicom_tpu.config import EngineConfig
+    from raytracedicom_tpu.engine import DoseEngine
+    from raytracedicom_tpu.physics.tables import load_physics_tables
+    from tests.test_engine import _mini_beam
+
+    tables = load_physics_tables(water_cube=True)
+    beam = _mini_beam(tables)
+    cfg = EngineConfig(ray_weight_cutoff=0.0)
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, (72, 72, 72))
+
+    def loss(sig):
+        i = inputs._replace(spot_sigmas=sig)
+        d = compute_beam_dose(ct, jnp.zeros(static.dose_shape, jnp.float32),
+                              i, eng.table_arrays, static, cfg)
+        return jnp.sum(d ** 2) * 1e12
+
+    g = jax.jit(jax.grad(loss))(inputs.spot_sigmas)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
