@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_nozzle", action="store_true",
                    help="disable the nozzle air-scatter model")
     p.add_argument("--steps", type=int, default=512, help="tracer depth steps")
+    p.add_argument("--verbose", action="store_true",
+                   help="print per-beam/per-layer diagnostics (the reference's "
+                        "FINE_GRAINED stdout echo)")
     return p
 
 
@@ -109,6 +112,10 @@ def main(argv=None) -> int:
               f"{[b.name or f'beam{i}' for i, b in enumerate(ion_beams)]}")
 
     eng = DoseEngine(tables, cfg)
+    if args.verbose:
+        for bi, b in enumerate(beams):
+            print(f"--- beam {bi} ---")
+            eng.describe_beam(b, ct.shape, stream=sys.stdout)
     t0 = time.time()
     dose = eng.compute_dose(jnp.asarray(ct), beams)
     dose_np = np.asarray(dose)

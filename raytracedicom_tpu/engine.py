@@ -491,6 +491,35 @@ class DoseEngine:
             self._kernels[key] = kernel
         return self._kernels[key]
 
+    def describe_beam(self, beam: Beam, dose_shape, stream=None) -> str:
+        """Per-beam diagnostics — the reference's per-layer stdout echo
+        (kernel_wrapper.cu:1017-1019: energy idx, peak depth, entry sigmas,
+        max radius) from the host-computed statics."""
+        static = self.beam_static(beam, tuple(dose_shape))
+        t = self.tables
+        lines = [
+            f"ray grid {static.grid.ray_dims} @ {static.grid.ray_res[:2]} mm, "
+            f"{static.steps} steps (live window {static.z_window})",
+            f"superposition radii {static.radii} (pad {static.pad}); "
+            f"dose bbox {static.bbox_min}..{static.bbox_max}",
+        ]
+        energies = np.asarray(beam.energies)
+        eidx = np.interp(energies, t.energies, np.arange(len(t.energies)))
+        peaks = np.interp(energies, t.energies, t.peak_depths)
+        for li, (e, ei, pk) in enumerate(zip(energies, eidx, peaks)):
+            lines.append(
+                f"  layer {li}: E={e:.2f} MeV (idx {ei:.2f}), peak depth "
+                f"{pk:.1f} mm, spot sigma {np.asarray(beam.spot_sigmas)[li]}"
+            )
+        if self.cfg.nuclear_enabled and static.nuc_dims is not None:
+            lines.append(f"nuclear: mode {self.cfg.nuclear}, grid "
+                         f"{static.nuc_dims}, radius {static.nuc_radius}, "
+                         f"spot dist {static.spot_dist:.2f} rays")
+        out = "\n".join(lines)
+        if stream is not None:
+            print(out, file=stream)
+        return out
+
     def compute_dose(self, ct, beams, dose_shape=None) -> Array:
         """Multi-beam dose (the reference only supports one beam per run,
         main.cu:117-120; summing fields is the natural extension)."""
