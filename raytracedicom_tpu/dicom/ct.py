@@ -61,6 +61,13 @@ def read_ct_series(directory: str) -> Tuple[np.ndarray, AffineTransform]:
     native_result = _read_ct_series_native(directory)
     if native_result is not None:
         return native_result
+    return _read_ct_series_python(directory)
+
+
+def _read_ct_series_python(directory: str) -> Tuple[np.ndarray, AffineTransform]:
+    """Pure-Python path (no native library) — same contract as
+    read_ct_series; kept callable directly so tests can compare it against
+    the native reader."""
     slices: List[parser.Dataset] = []
     for path in parser.list_dicom_files(directory):
         try:

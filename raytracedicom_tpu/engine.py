@@ -14,7 +14,8 @@ Pipeline per beam (reference stage in parens):
   3. per-layer energy interpolation + entry sigmas + nozzle model
                                      (host loop kernel_wrapper.cu:829-849)
   4. spot_to_ray_weights             (K3  gpuConvolution2D)
-  5. scan over energy layers: fill_idd_and_sigma -> superpose_bucketed
+  5. scan over energy layers: fill_idd_and_sigma -> step_radii +
+     superpose_pallas (adaptive-radius Pallas kernel; jnp mirror on CPU)
                                      (K2, K4, K5)
   6. transfer_bev_to_dose            (K6  primTransfDiv)
 plus the nuclear-halo branch when enabled (NUCLEAR_CORR).

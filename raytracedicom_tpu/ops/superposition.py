@@ -121,78 +121,6 @@ def estimate_radius(
     return max(1, min(rad, max_radius))
 
 
-def superpose_bucketed(
-    idd: Array,            # (S, Y, X)
-    r_sigma_eff: Array,    # (S, Y, X)
-    radii: tuple,          # ascending static radius buckets, e.g. (0,2,4,8,16,32)
-    pad: int,
-    chunk_z: int = 8,
-    ks_sigma_cutoff: float = 3.0,
-) -> Array:
-    """Radius-adaptive superposition: the TPU analogue of the reference's
-    tile-radius classification (tileRadCalc, kernel_wrapper.cuh:256-313) and
-    per-radius kernel dispatch (kernel_wrapper.cu:1024-1056).
-
-    The slab is processed in z-chunks; each chunk computes its required
-    radius from its minimum reciprocal sigma with the reference's formula
-    rad = KS_CUTOFF/(sqrt(2)*minRSigma) + 0.5 (kernel_wrapper.cuh:303),
-    rounds it up to the next static bucket, and dispatches through
-    ``lax.switch`` so only that bucket's (2r+1)^2 offset loop executes.
-    Chunks of dead rays (rSigma = BIG) select radius 0 and cost nothing.
-    Unlike the reference (which *truncates* each tile's Gaussian at the
-    bucket radius), larger buckets only ever add more of the tail, so bucket
-    choice changes the result by < the 3-sigma tail mass (~0.3%).
-    """
-    if pad < max(radii):
-        raise ValueError("pad must cover the largest radius bucket")
-    S, Y, X = idd.shape
-    n_chunks = -(-S // chunk_z)
-    s_padded = n_chunks * chunk_z
-    if s_padded != S:
-        idd = jnp.concatenate(
-            [idd, jnp.zeros((s_padded - S, Y, X), idd.dtype)], axis=0
-        )
-        r_sigma_eff = jnp.concatenate(
-            [r_sigma_eff,
-             jnp.full((s_padded - S, Y, X), 1e10, r_sigma_eff.dtype)],
-            axis=0,
-        )
-    idd_c = idd.reshape(n_chunks, chunk_z, Y, X)
-    rs_c = r_sigma_eff.reshape(n_chunks, chunk_z, Y, X)
-
-    radii_arr = jnp.asarray(np.asarray(radii, np.int32))
-
-    def make_branch(radius: int):
-        def branch(args):
-            dose, rs = args
-            w = erf_diff_weights(rs, radius)
-            out = jnp.zeros((chunk_z, Y + 2 * pad, X + 2 * pad), dose.dtype)
-            for dy in range(-radius, radius + 1):
-                contrib_y = dose * w[abs(dy)]
-                for dx in range(-radius, radius + 1):
-                    out = out.at[
-                        :, pad + dy : pad + dy + Y, pad + dx : pad + dx + X
-                    ].add(contrib_y * w[abs(dx)])
-            return out
-
-        return branch
-
-    branches = [make_branch(r) for r in radii]
-
-    def chunk_body(args):
-        dose, rs = args
-        min_rs = jnp.min(rs)
-        rad_needed = jnp.minimum(
-            (ks_sigma_cutoff / (jnp.sqrt(2.0) * min_rs) + 0.5).astype(jnp.int32),
-            radii_arr[-1],
-        )
-        bucket = jnp.searchsorted(radii_arr, rad_needed)
-        return jax.lax.switch(bucket, branches, (dose, rs))
-
-    out_c = jax.lax.map(chunk_body, (idd_c, rs_c))
-    return out_c.reshape(s_padded, Y + 2 * pad, X + 2 * pad)[:S]
-
-
 # ---------------------------------------------------------------------------
 # Golden model (scatter form, numpy) — literal transcription of
 # kernelSuperposition<rad> semantics with a uniform radius.

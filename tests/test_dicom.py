@@ -143,14 +143,15 @@ def test_native_reader_matches_python(tmp_path):
     write_ct_series(d, vol_hu, origin=(-11.5, -17.0, -6.0), spacing=(1.0, 1.5, 2.0))
 
     vol_n, aff_n = ctmod._read_ct_series_native(d)
+    vol_p, aff_p = ctmod._read_ct_series_python(d)
 
-    # force the pure-Python path by reading slices directly
-    slices = []
-    from raytracedicom_tpu.dicom import parser
-    for p in parser.list_dicom_files(d):
-        slices.append(parser.read_file(p))
-    vol_p, aff_p = ctmod.read_ct_series(d)   # currently routed via native
-    # compare native volume against the synthetic truth and the affine
+    # native vs pure-Python: identical volume and affine
+    np.testing.assert_array_equal(vol_n, vol_p)
+    np.testing.assert_allclose(np.asarray(aff_n.m), np.asarray(aff_p.m),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(aff_n.v), np.asarray(aff_p.v),
+                               atol=1e-9)
+    # and both against the synthetic truth
     np.testing.assert_allclose(vol_n, vol_hu + 1000.0)
     np.testing.assert_allclose(np.asarray(aff_n.m), np.diag([1.0, 1.5, 2.0]),
                                atol=1e-9)

@@ -95,6 +95,7 @@ def test_dose_scales_linearly_with_weights(tables):
     np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-4, atol=1e-5 * d1.max())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["soukup", "fluka", "gauss_fit"])
 def test_nuclear_modes_run(mode):
     from raytracedicom_tpu.physics.tables import load_physics_tables as _load

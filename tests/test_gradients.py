@@ -62,6 +62,7 @@ def _directional_fd(loss, args, idx, direction, eps):
     return (float(loss(*ap)) - float(loss(*am))) / (2 * eps)
 
 
+@pytest.mark.slow
 def test_grad_spot_weights(setup):
     loss, grad, ct, inputs = setup
     _, g_w, _ = grad(ct, inputs.spot_weights, inputs.energies)

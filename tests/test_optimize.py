@@ -31,6 +31,7 @@ def test_optimization_reduces_loss(env):
     assert (res.weights[0] >= 0).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(env, tmp_path):
     eng, ct, beam, target = env
     ck = str(tmp_path / "ckpt")

@@ -1,0 +1,192 @@
+"""End-to-end numerical parity: engine vs the independent composed oracle
+(tests/golden_pipeline.py) on a reduced watercube, and the spot convolution
+vs the reference's own compiled CPU implementation
+(/root/reference/src/cpu_convolution_1d.cpp) as a non-self-authored oracle.
+
+These are the round-2 parity gates (VERDICT item 1): a systematic
+transcription error in any engine stage — wrong constant, wrong half-voxel
+offset, broken window/padding composition — fails here even though every
+per-op golden test still passes.
+"""
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "tools"))
+
+from raytracedicom_tpu.config import EngineConfig
+from raytracedicom_tpu.engine import BeamInputs, DoseEngine
+from raytracedicom_tpu.geometry.transforms import np_affine, np_idx
+from raytracedicom_tpu.physics.tables import load_physics_tables
+from raytracedicom_tpu.plan import Beam
+
+from golden_pipeline import golden_beam_dose
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def mini_watercube(tables, n_layers=4, n_spots=8, steps=128, dim=96):
+    """Scaled-down watercube: same construction as main.cu:39-99 with a
+    96^3 1 mm cube, 8x8 spots at 3 mm, 2 mm rays, 4 layers at 70..90 MeV."""
+    ct = np.full((dim, dim, dim), 1000.0, np.float32)
+    # world z in [-(dim-40), 39]; beam enters the cube top at world z = 39
+    world_to_im = np_affine(np.eye(3, dtype=np.float32),
+                            [dim / 2.0, dim / 2.0, dim - 40.0])
+    energies = np.linspace(70.0, 90.0, n_layers).astype(np.float32)
+    peaks = np.interp(energies, tables.energies, tables.peak_depths)
+    sig = (2.3 + 290.0 / (peaks + 15.0)).astype(np.float32)
+    rng = np.random.RandomState(3)
+    weights = rng.uniform(90.0, 110.0,
+                          (n_layers, n_spots, n_spots)).astype(np.float32)
+    inf = float("inf")
+    half_extent = 1.5 * (n_spots - 1)
+    beam = Beam(
+        spot_weights=weights,
+        energies=energies,
+        spot_sigmas=np.stack([sig, sig], 1),
+        ray_spacing=(2.0, 2.0),
+        steps=steps,
+        source_dist=(inf, inf),
+        spot_idx_to_gantry=np_idx([3.0, 3.0, -1.0],
+                                  [-half_extent, -half_extent, 48.0]),
+        gantry_to_im_idx=world_to_im,
+        gantry_to_dose_idx=world_to_im,
+    )
+    return ct, beam
+
+
+def test_full_pipeline_parity():
+    """Engine fp32 dose vs the float64 sequential oracle, full pipeline.
+
+    Tolerance policy (golden_pipeline module docstring): measured agreement
+    on the CPU backend is 4.9e-6 of the dose max (133k significant voxels);
+    the gate is 5e-4 to leave headroom for the TPU backend's A&S-erf
+    approximation (|err| < 1.5e-7 per weight), plus 100% gamma(0.5%,
+    0.5 voxel) over voxels above 10% of max."""
+    tables = load_physics_tables(water_cube=True)
+    cfg = EngineConfig()
+    ct, beam = mini_watercube(tables)
+    dose_shape = ct.shape
+
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, dose_shape)
+    got = np.asarray(eng.compute_dose(ct, [beam]), np.float64)
+
+    want = golden_beam_dose(ct, beam, tables, cfg, dose_shape,
+                            max_radius=max(static.radii))
+
+    assert want.max() > 0, "oracle produced zero dose"
+    scale = want.max()
+    diff = np.abs(got - want)
+    rel = diff.max() / scale
+    assert rel < 5e-4, (
+        f"max |engine - oracle| = {diff.max():.4g} ({100 * rel:.3f}% of max "
+        f"{scale:.4g}) at {np.unravel_index(diff.argmax(), diff.shape)}"
+    )
+    # integral dose must also agree (catches compensating local errors)
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-3
+
+    from compare_dose import gamma_pass_rate
+    rate, _ = gamma_pass_rate(want, got, spacing_mm=1.0, dd_percent=0.5,
+                              dta_mm=0.5, cutoff_frac=0.1)
+    assert rate == 1.0, f"gamma 0.5%/0.5mm pass rate {rate:.4f} < 1"
+
+
+# ---------------------------------------------------------------------------
+# Reference CPU convolution as a compiled, non-self-authored oracle
+# ---------------------------------------------------------------------------
+
+_SHIM = r"""
+#include "cpu_convolution_1d.h"
+extern "C" {
+void x_conv_sparse(const float* in, float* out, float rs, unsigned rad,
+                   unsigned inW, unsigned outW, unsigned h, int off, int delta) {
+    xConvCpuSparse(in, out, rs, rad, inW, outW, h, off, delta);
+}
+void y_conv_sparse(const float* in, float* out, float rs, unsigned rad,
+                   unsigned inH, unsigned w, int off, int delta) {
+    yConvCpuSparse(in, out, rs, rad, inH, w, off, delta);
+}
+}
+"""
+
+
+def _build_reference_conv(tmpdir):
+    if not os.path.exists(os.path.join(REFERENCE_SRC, "cpu_convolution_1d.cpp")):
+        pytest.skip("reference source tree not available")
+    shim = os.path.join(tmpdir, "shim.cpp")
+    with open(shim, "w") as f:
+        f.write(_SHIM)
+    lib = os.path.join(tmpdir, "libref_conv.so")
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-I", REFERENCE_SRC,
+           os.path.join(REFERENCE_SRC, "cpu_convolution_1d.cpp"), shim,
+           "-o", lib]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError) as e:
+        pytest.skip(f"cannot build reference oracle: {e}")
+    dll = ctypes.CDLL(lib)
+    fp = ctypes.POINTER(ctypes.c_float)
+    dll.x_conv_sparse.argtypes = [fp, fp, ctypes.c_float, ctypes.c_uint,
+                                  ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+                                  ctypes.c_int, ctypes.c_int]
+    dll.y_conv_sparse.argtypes = [fp, fp, ctypes.c_float, ctypes.c_uint,
+                                  ctypes.c_uint, ctypes.c_uint,
+                                  ctypes.c_int, ctypes.c_int]
+    return dll
+
+
+def test_spot_conv_vs_reference_cpp(tmp_path):
+    """spot_to_ray_weights vs the compiled reference CPU convolution.
+
+    On an integer-ratio lattice (spot spacing = 3 x ray spacing, integer
+    offset) the reference's scatter with radius rad = floor(cutoff*sigmaEff
+    + 0.5) visits exactly the source set our gather mask keeps, so the two
+    must agree to fp32 roundoff."""
+    import jax.numpy as jnp
+    from raytracedicom_tpu.ops import spot_conv as sc
+
+    dll = _build_reference_conv(str(tmp_path))
+
+    rng = np.random.RandomState(5)
+    L, sy, sx = 3, 6, 7
+    spots = rng.uniform(50, 150, (L, sy, sx)).astype(np.float32)
+    sigmas = rng.uniform(3.0, 8.0, (L, 2)).astype(np.float32)
+    cutoff = 3.0
+    delta = 3            # spot spacing / ray spacing (integer for the oracle)
+    offset = 30          # (spot_offset - ray_offset)/ray_delta, integer >= rad
+    n_out_x = (sx - 1) * delta + 2 * offset + 1
+    n_out_y = (sy - 1) * delta + 2 * offset + 1
+
+    got = np.asarray(sc.spot_to_ray_weights(
+        jnp.asarray(spots), jnp.asarray(sigmas), (n_out_x, n_out_y),
+        (3.0, 3.0), (float(offset) - 0.0, float(offset)),
+        (1.0, 1.0), (0.0, 0.0),
+        jnp.asarray([1.0, 1.0], jnp.float32), cutoff,
+    ))
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    for layer in range(L):
+        sig_x = float(sigmas[layer, 0])          # pixel_sp = 1, px_mult = 1
+        sig_y = float(sigmas[layer, 1])
+        rs_x = 1.0 / (np.sqrt(2.0) * sig_x)
+        rs_y = 1.0 / (np.sqrt(2.0) * sig_y)
+        rad_x = int(np.floor(cutoff * sig_x + 0.5))
+        rad_y = int(np.floor(cutoff * sig_y + 0.5))
+        assert rad_x <= offset and rad_y <= offset
+
+        interm = np.zeros((sy, n_out_x), np.float32)
+        dll.x_conv_sparse(
+            spots[layer].ctypes.data_as(fp), interm.ctypes.data_as(fp),
+            np.float32(rs_x), rad_x, sx, n_out_x, sy, offset, delta)
+        out = np.zeros((n_out_y, n_out_x), np.float32)
+        dll.y_conv_sparse(
+            interm.ctypes.data_as(fp), out.ctypes.data_as(fp),
+            np.float32(rs_y), rad_y, sy, n_out_x, offset, delta)
+
+        np.testing.assert_allclose(got[layer], out, rtol=2e-4, atol=2e-3)

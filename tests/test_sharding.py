@@ -53,6 +53,7 @@ def test_sharded_dose_matches_single_device(setup, mesh_shape):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6 * ref.max())
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(setup):
     ct, inputs, tabs, static, cfg = setup
     if len(jax.devices()) < 4:
