@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: watercube forward dose, ms per beam.
+"""Headline benchmark: watercube forward dose, ms per beam, plus the
+BASELINE.json scaling metrics (beamlets/s/chip, rays/s, grad-pass ms and
+forward:backward ratio).
 
 Workload = the reference's benchmark config (SURVEY.md §6): 256^3 CT,
 33x33 spots x 20 energy layers (118.12..172.51 MeV), 512 tracer steps,
 3 mm fan spacing. Baseline = the reference's headline claim of sub-second
 per field on GPU (README.md:2), taken as 1000 ms.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline > 1 means faster than the baseline claim.
 """
 import json
@@ -19,6 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS = 1000.0
 
 
+def _median_ms(fn, n_trials=5):
+    import numpy as np
+    times = []
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.median(times)), times
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -26,13 +38,16 @@ def main():
 
     from raytracedicom_tpu import plan
     from raytracedicom_tpu.config import EngineConfig
-    from raytracedicom_tpu.engine import BeamInputs, DoseEngine
+    from raytracedicom_tpu.engine import (
+        BeamInputs, DoseEngine, compute_beam_dose,
+    )
     from raytracedicom_tpu.physics.tables import load_physics_tables
 
     tables = load_physics_tables(water_cube=True)
     ct_np, _ = plan.watercube_ct()
     beam = plan.watercube_beam(tables)
-    eng = DoseEngine(tables, EngineConfig())
+    cfg = EngineConfig()
+    eng = DoseEngine(tables, cfg)
     static = eng.beam_static(beam, ct_np.shape)
 
     ct = jnp.asarray(ct_np)
@@ -43,32 +58,65 @@ def main():
     )
     kernel = eng._kernel(static)
 
-    def run():
+    def forward():
         dose = jnp.zeros(static.dose_shape, jnp.float32)
         out = kernel(ct, dose, inputs, eng.table_arrays)
         # force a host roundtrip: on the experimental axon platform
         # block_until_ready returns before execution finishes
         return float(jnp.max(out))
 
-    mx = run()  # compile + warm-up
+    mx = forward()  # compile + warm-up
     assert np.isfinite(mx) and mx > 0, f"bad dose max {mx}"
-    run()
+    forward()
+    fwd_ms, fwd_times = _median_ms(forward)
 
-    n_trials = 5
-    times = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        run()
-        times.append((time.perf_counter() - t0) * 1000.0)
-    ms = float(np.median(times))
-    print(f"# trials: {[round(t, 2) for t in times]}, dose max {mx:.4g}",
-          file=sys.stderr)
+    # ---- gradient pass: value_and_grad of an MSE loss w.r.t. the
+    # differentiable plan inputs (spot weights + energies), through the
+    # full engine (BASELINE "grad-pass overhead ratio") ----
+    target = kernel(ct, jnp.zeros(static.dose_shape, jnp.float32),
+                    inputs, eng.table_arrays)
+    target = jax.block_until_ready(target)
+
+    @jax.jit
+    def loss_and_grad(weights, energies, sigmas):
+        def loss(w, e):
+            inp = BeamInputs(spot_weights=w, energies=e, spot_sigmas=sigmas)
+            dose0 = jnp.zeros(static.dose_shape, ct.dtype)
+            dose = compute_beam_dose(ct, dose0, inp, eng.table_arrays,
+                                     static, cfg)
+            return jnp.mean((dose - target) ** 2) / jnp.mean(target ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1))(weights, energies)
+
+    def grad_pass():
+        val, (gw, ge) = loss_and_grad(0.9 * inputs.spot_weights,
+                                      inputs.energies, inputs.spot_sigmas)
+        return float(val) + float(jnp.sum(gw)) + float(jnp.sum(ge))
+
+    gv = grad_pass()  # compile + warm-up
+    assert np.isfinite(gv), f"bad grad-pass value {gv}"
+    grad_pass()
+    grad_ms, grad_times = _median_ms(grad_pass, n_trials=3)
+
+    n_layers, sy, sx = np.asarray(beam.spot_weights).shape
+    beamlets = n_layers * sy * sx
+    nrx, nry = static.grid.ray_dims
+    rays = nrx * nry                       # traced BEV rays (512 steps each)
+
+    print(f"# fwd trials: {[round(t, 2) for t in fwd_times]}, "
+          f"grad trials: {[round(t, 2) for t in grad_times]}, "
+          f"dose max {mx:.4g}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "watercube_forward_ms_per_beam",
-        "value": round(ms, 2),
+        "value": round(fwd_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
+        "vs_baseline": round(BASELINE_MS / fwd_ms, 3),
+        "beamlets_per_s_per_chip": round(beamlets / (fwd_ms / 1e3), 1),
+        "rays_per_s": round(rays / (fwd_ms / 1e3), 1),
+        "ray_steps_per_s": round(rays * beam.steps / (fwd_ms / 1e3), 1),
+        "grad_pass_ms": round(grad_ms, 2),
+        "grad_fwd_ratio": round(grad_ms / fwd_ms, 3),
+        "n_devices": len(jax.devices()),
     }))
 
 

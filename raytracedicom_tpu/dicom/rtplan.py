@@ -31,6 +31,7 @@ TAG_SPOT_POS = (0x300A, 0x0394)
 TAG_SPOT_WEIGHTS = (0x300A, 0x0396)
 TAG_SPOT_SIZE = (0x300A, 0x0398)
 TAG_BEAM_NAME = (0x300A, 0x00C2)
+TAG_VSAD = (0x300A, 0x030A)       # VirtualSourceAxisDistances (x, y) mm
 
 
 @dataclasses.dataclass
@@ -48,6 +49,9 @@ class IonBeam:
     couch_angle_deg: float
     isocenter: np.ndarray         # (3,) mm patient coords
     layers: List[IonLayer]
+    # per-axis virtual source-axis distances (x, y) mm; None = not in plan
+    # (reference: sourceDist plumbing, float3_from_fan_transform.cu:37-42)
+    source_distances: Optional[Tuple[float, float]] = None
 
 
 FWHM_TO_SIGMA = 1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0)))
@@ -85,12 +89,15 @@ def read_ion_plan(path: str) -> List[IonBeam]:
                 weights=wts,
                 spot_size=None if size is None else (float(size[0]), float(size[1])),
             ))
+        vsad = b.floats(TAG_VSAD)
         beams.append(IonBeam(
             name=str(b.first(TAG_BEAM_NAME, "")),
             gantry_angle_deg=gantry,
             couch_angle_deg=couch,
             isocenter=iso,
             layers=layers,
+            source_distances=None if vsad is None
+            else (float(vsad[0]), float(vsad[1])),
         ))
     return beams
 
@@ -122,7 +129,7 @@ def beam_from_ion_beam(
     *,
     ray_spacing: Tuple[float, float] = (1.0, 1.0),
     steps: Optional[int] = None,
-    source_dist: Tuple[float, float] = (float("inf"), float("inf")),
+    source_dist: Optional[Tuple[float, float]] = None,
     trace_start_z: Optional[float] = None,
     step_len: float = 1.0,
     dose_idx_to_world: Optional[AffineTransform] = None,
@@ -134,12 +141,23 @@ def beam_from_ion_beam(
     positions (the reference's BeamSettings assumes a regular spot grid,
     beam_settings.h:24). Energies become layers sorted ascending.
 
+    ``source_dist``: per-axis virtual source distances in mm. Default (None)
+    uses the plan's VirtualSourceAxisDistances (0x300A,0x030A) when present —
+    producing the divergent-fan geometry of the reference's sourceDist
+    plumbing (float3_from_fan_transform.cu:37-42) — else a parallel beam.
+    Spot positions (and the derived fan grid) are defined at the isocenter
+    plane (gantry z=0), which the divergence factor ``1 - z/sourceDist``
+    leaves fixed.
+
     When ``trace_start_z``/``steps`` are omitted they are derived from the
     CT extent (``ct_shape`` (Z, Y, X) required): tracing starts one step
     outside the volume along the beam axis and covers the full depth.
     """
     from ..plan import Beam
     from ..geometry.transforms import np_idx
+
+    if source_dist is None:
+        source_dist = ion.source_distances or (float("inf"), float("inf"))
 
     rot_early = gantry_rotation(ion.gantry_angle_deg, ion.couch_angle_deg)
     if trace_start_z is None or steps is None:

@@ -114,9 +114,11 @@ def write_ct_series(directory: str, volume_hu: np.ndarray,
 def write_ion_plan(path: str, layers, gantry_deg: float = 0.0,
                    couch_deg: float = 0.0, isocenter=(0.0, 0.0, 0.0),
                    beam_name: str = "G000",
-                   plan_uid: str = "1.2.826.0.1.3680043.999.2"):
+                   plan_uid: str = "1.2.826.0.1.3680043.999.2",
+                   source_distances=None):
     """``layers``: list of dicts {energy, positions (n,2), weights (n,),
-    spot_size (fwhm_x, fwhm_y)}."""
+    spot_size (fwhm_x, fwhm_y)}. ``source_distances``: optional (x, y) mm
+    VirtualSourceAxisDistances (0x300A,0x030A) for divergent beams."""
     ctrl_items: List[bytes] = []
     for i, layer in enumerate(layers):
         elements = [
@@ -136,11 +138,15 @@ def write_ion_plan(path: str, layers, gantry_deg: float = 0.0,
                 ((0x300A, 0x012C), "DS", list(isocenter)),
             ]
         ctrl_items.append(_dataset(elements))
-    beam_item = _dataset([
+    beam_elements = [
         ((0x300A, 0x00C2), "LO", beam_name),
         ((0x300A, 0x00C6), "CS", "PROTON"),
-        ((0x300A, 0x03A8), "SQ", ctrl_items),
-    ])
+    ]
+    if source_distances is not None:
+        beam_elements.append(((0x300A, 0x030A), "FL",
+                              np.asarray(source_distances, np.float32)))
+    beam_elements.append(((0x300A, 0x03A8), "SQ", ctrl_items))
+    beam_item = _dataset(beam_elements)
     body = _dataset([
         ((0x0008, 0x0016), "UI", _RTION_SOP),
         ((0x0008, 0x0018), "UI", plan_uid),

@@ -38,12 +38,7 @@ from .geometry.transforms import (
 )
 from .ops import idd_sigma as isig
 from .ops import spot_conv, superposition, trace, transfer
-from .ops.pallas_lut import on_tpu
-from .ops.pallas_superposition import (
-    step_radii,
-    superpose_masked_jnp,
-    superpose_pallas,
-)
+from .ops.pallas_superposition import step_radii, superpose_adaptive
 from .physics.interp import interp_at_index, interp_decimal_index
 from .plan import Beam, RayGridGeometry, compute_ray_grid
 
@@ -242,6 +237,38 @@ def first_larger_ordered(ordered: Array, value: Array) -> Array:
     return jnp.minimum(idx, ordered.shape[0] - 1).astype(jnp.int32)
 
 
+def _ray_shard_info(ray_sharding, nry: int):
+    """(mesh, axis_name, n_ray, y_loc) for the shard_map overlap-add path,
+    or None when the sharding cannot drive it (unsharded ray axis, or rows
+    not divisible).
+
+    Why shard_map instead of plain GSPMD annotations: the SPMD partitioner
+    cannot see inside pallas_call, so it replicates the superposition — an
+    all-gather of every (S, Ry, Rx) slab per layer and fully redundant
+    compute (measured: 170 slab all-gathers on the watercube program). Under
+    shard_map each ray shard superposes only its own rows into a locally
+    padded slab; because a source ray only ever scatters within +-pad of
+    itself, the global padded slab is exactly the overlap-add of the shard
+    slabs, which the transfer stage folds into the dose grid with one psum
+    per beam — no per-layer communication at all.
+    """
+    if ray_sharding is None:
+        return None
+    spec = ray_sharding.spec
+    if len(spec) < 2 or spec[1] is None:
+        return None
+    axis = spec[1]
+    if isinstance(axis, tuple):
+        if len(axis) != 1:
+            return None
+        axis = axis[0]
+    mesh = ray_sharding.mesh
+    n_ray = mesh.shape[axis]
+    if nry % n_ray:
+        return None
+    return mesh, axis, n_ray, nry // n_ray
+
+
 def compute_beam_dose(
     ct: Array,
     dose: Array,
@@ -363,10 +390,37 @@ def compute_beam_dose(
     r_rl = dens_w * isig.lut1d_fast(tables.rrl, dens_w * tables.rrl_scale)
 
     def superpose(idd_w, rs_w, max_r, pad):
+        # MXU banded matmuls when the layer's live rays share per-slice
+        # sigmas, per-source Pallas/jnp kernel otherwise (runtime lax.cond)
         rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
-        if on_tpu():
-            return superpose_pallas(idd_w, rs_w, rads, max_r, pad)
-        return superpose_masked_jnp(idd_w, rs_w, rads, max_r, pad)
+        return superpose_adaptive(idd_w, rs_w, rads, max_r, pad)
+
+    rsh = _ray_shard_info(ray_sharding, nry)
+
+    def superpose_primary(idd_w, rs_w):
+        """Primary-beam superposition; under ray sharding, returns the
+        per-shard locally-padded slabs stacked on a leading mesh axis
+        (n_ray, W, y_loc + 2*pad, Rx + 2*pad) instead of the global slab."""
+        max_r, pad = max(static.radii), static.pad
+        # radius truncation must stay a GLOBAL per-slice quantity so the
+        # sharded and unsharded programs are numerically identical
+        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
+        if rsh is None:
+            return superpose_adaptive(idd_w, rs_w, rads, max_r, pad)
+        mesh, axis, n_ray, y_loc = rsh
+        P = jax.sharding.PartitionSpec
+
+        def body(idd_loc, rs_loc, rads_g):
+            out = superpose_adaptive(idd_loc, rs_loc, rads_g, max_r, pad)
+            return out[None]
+
+        # check_vma=False: the varying-manual-axes checker rejects mixing
+        # the replicated rad_steps with ray-varying slabs inside lax.cond
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, axis, None), P()),
+            out_specs=P(axis, None, None, None), check_vma=False,
+        )(idd_w, rs_w, rads)
 
     def layer_body(acc, per_layer):
         layer, rw, spot_w = per_layer
@@ -389,7 +443,7 @@ def compute_beam_dose(
         bev_acc, nuc_acc = acc
         idd_w = constrain(fill.idd)
         rs_w = constrain(fill.r_sigma_eff)
-        bev_acc = bev_acc + superpose(idd_w, rs_w, max(static.radii), static.pad)
+        bev_acc = bev_acc + superpose_primary(idd_w, rs_w)
 
         if nuclear_on:
             # gather halo outputs onto the (tile-rounded) spot grid and scale
@@ -414,7 +468,16 @@ def compute_beam_dose(
     if cfg.remat_layers:
         body = jax.checkpoint(layer_body)
 
-    bev0 = jnp.zeros((W, nry + 2 * static.pad, nrx + 2 * static.pad), ct.dtype)
+    if rsh is None:
+        bev0 = jnp.zeros((W, nry + 2 * static.pad, nrx + 2 * static.pad),
+                         ct.dtype)
+    else:
+        bev0 = jnp.zeros((rsh[2], W, rsh[3] + 2 * static.pad,
+                          nrx + 2 * static.pad), ct.dtype)
+        bev0 = jax.lax.with_sharding_constraint(
+            bev0, jax.sharding.NamedSharding(
+                rsh[0], jax.sharding.PartitionSpec(rsh[1]))
+        )
     if nuclear_on:
         nuc0 = jnp.zeros((W, static.nuc_dims[1] + 2 * static.pad,
                           static.nuc_dims[0] + 2 * static.pad), ct.dtype)
@@ -425,10 +488,31 @@ def compute_beam_dose(
 
     # ---- K6: transfer (window z origin folded into the traced z shift, like
     # the reference's invertAndShift(maxR, maxR, -beamFirstInside)) ----
-    dose = transfer.transfer_bev_to_dose(
-        dose, bev_dose, static.d2f, static.bbox_min, static.bbox_max,
-        z_shift=-z0.astype(ct.dtype),
-    )
+    if rsh is None:
+        dose = transfer.transfer_bev_to_dose(
+            dose, bev_dose, static.d2f, static.bbox_min, static.bbox_max,
+            z_shift=-z0.astype(ct.dtype),
+        )
+    else:
+        # overlap-add: each shard transfers its local slab (global padded
+        # rows [k*y_loc, k*y_loc + y_loc + 2*pad)) and the partial bbox
+        # values are combined with ONE psum per beam
+        mesh, axis, n_ray, y_loc = rsh
+        P = jax.sharding.PartitionSpec
+        def tbody(bev_loc, zsh):
+            k = jax.lax.axis_index(axis)
+            vals = transfer.transfer_vals(
+                bev_loc[0], static.d2f, static.bbox_min, static.bbox_max,
+                z_shift=zsh, y_shift=(-k * y_loc).astype(ct.dtype),
+            )
+            return jax.lax.psum(vals, axis)
+
+        vals = jax.shard_map(
+            tbody, mesh=mesh, in_specs=(P(axis, None, None, None), P()),
+            out_specs=P(), check_vma=False,
+        )(bev_dose, -z0.astype(ct.dtype))
+        (x0, y0, zz0), (x1, y1, zz1) = static.bbox_min, static.bbox_max
+        dose = dose.at[zz0:zz1 + 1, y0:y1 + 1, x0:x1 + 1].add(vals)
     if nuclear_on:
         # halo transfer on the spot-grid fan (nucTransfDiv, kernel_wrapper.cu:100-128)
         dose = transfer.transfer_bev_to_dose(

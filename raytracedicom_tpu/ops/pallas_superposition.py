@@ -336,3 +336,44 @@ def _sup_bwd(radius, pad, res, g):
 
 
 superpose_pallas.defvjp(_sup_fwd, _sup_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive dispatch: MXU banded matmuls when every slice's live rays share
+# one sigma (homogeneous media — the watercube benchmark), per-source
+# VPU kernel otherwise. The lax.cond predicate is a runtime value, so one
+# compiled program serves both; only the taken branch executes on TPU.
+# The backward is ALWAYS the per-source adjoint: on the uniform manifold the
+# two forwards produce identical values, so the per-source VJP is the
+# correct derivative regardless of which branch computed the primal.
+# ---------------------------------------------------------------------------
+
+def _superpose_general(idd, rs, rad_steps, radius, pad):
+    from .pallas_lut import on_tpu
+    if on_tpu():
+        return superpose_pallas_raw(idd, rs, rad_steps, radius, pad)
+    return superpose_masked_jnp(idd, rs, rad_steps, radius, pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def superpose_adaptive(idd: Array, rs: Array, rad_steps: Array,
+                       radius: int, pad: int) -> Array:
+    """(S, Y, X) -> padded slab; picks the MXU or per-source path per call."""
+    from .superposition import slice_uniform_rs, superpose_uniform_mxu
+    rs_slice, all_uniform = slice_uniform_rs(idd, rs)
+    return jax.lax.cond(
+        all_uniform,
+        lambda a: superpose_uniform_mxu(a[0], rs_slice, rad_steps, radius, pad),
+        lambda a: _superpose_general(a[0], a[1], rad_steps, radius, pad),
+        (idd, rs),
+    )
+
+
+def _sup_adaptive_fwd(idd, rs, rad_steps, radius, pad):
+    out = superpose_adaptive(idd, rs, rad_steps, radius, pad)
+    S, Y, X = idd.shape
+    eff = _effective_radii(rad_steps, S, radius, pad, Y, X)
+    return out, (idd, rs, eff)
+
+
+superpose_adaptive.defvjp(_sup_adaptive_fwd, _sup_bwd)

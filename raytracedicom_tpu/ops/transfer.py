@@ -63,6 +63,45 @@ def dose_bbox(
     return (x0, y0, z0), (x1, y1, z1)
 
 
+def transfer_vals(
+    bev_dose: Array,               # (S, Yp, Xp) padded BEV dose slab
+    dose_idx_to_fan_idx: FanToIdxTransform,
+    bbox_min: Tuple[int, int, int],
+    bbox_max: Tuple[int, int, int],
+    z_shift: Array = None,
+    y_shift: Array = None,
+) -> Array:
+    """Resampled BEV dose over the static bbox, (nz, ny, nx).
+
+    ``z_shift`` carries the traced fan-depth origin (the reference's
+    -beamFirstInside shift, kernel_wrapper.cu:1181-1183); ``y_shift`` a
+    traced lateral fan origin — used by the ray-sharded overlap-add path,
+    where each shard's slab covers padded rows [k*Yloc, k*Yloc + Yloc + 2pad)
+    of the global slab (y_shift = -k*Yloc).
+    """
+    from .resample import fan_to_idx_plan, separable_resample
+
+    (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
+    zshift = jnp.asarray(0.0, bev_dose.dtype) if z_shift is None else z_shift
+    yshift = jnp.asarray(0.0, bev_dose.dtype) if y_shift is None else y_shift
+
+    plan = fan_to_idx_plan(dose_idx_to_fan_idx, bbox_min, bbox_max)
+    if plan is not None:
+        _, make_coords = plan
+        c0, c1, c2 = make_coords()
+        return separable_resample(bev_dose, c0 + zshift, c1 + yshift, c2)
+    xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
+    ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
+    zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)
+    grid = jnp.stack(
+        jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1
+    )  # (nx, ny, nz, 3) ordered (x, y, z)
+    fan = apply_fan_to_idx(dose_idx_to_fan_idx, grid)
+    fan = fan + jnp.stack([jnp.zeros_like(zshift), yshift, zshift])
+    vals = trilinear_border(bev_dose, fan)          # (nx, ny, nz)
+    return jnp.transpose(vals, (2, 1, 0))           # -> (nz, ny, nx)
+
+
 def transfer_bev_to_dose(
     dose: Array,                   # (Zd, Yd, Xd) dose grid to accumulate into
     bev_dose: Array,               # (S, Yp, Xp) padded BEV dose slab
@@ -76,29 +115,9 @@ def transfer_bev_to_dose(
     ``dose_idx_to_fan_idx`` must already include the (static) lateral padding
     shift (invert_and_shift_fan_from_idx with (pad, pad, 0)) and must have
     concrete (non-traced) leaves so the separable-geometry detection can run
-    at trace time. ``z_shift`` carries the traced fan-depth origin (the
-    reference's -beamFirstInside shift, kernel_wrapper.cu:1181-1183).
+    at trace time.
     """
-    from .resample import fan_to_idx_plan, separable_resample
-
     (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
-    zshift = jnp.asarray(0.0, bev_dose.dtype) if z_shift is None else z_shift
-
-    plan = fan_to_idx_plan(dose_idx_to_fan_idx, bbox_min, bbox_max)
-    if plan is not None:
-        _, make_coords = plan
-        c0, c1, c2 = make_coords()
-        vals = separable_resample(bev_dose, c0 + zshift, c1, c2)   # (nz, ny, nx)
-    else:
-        xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
-        ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
-        zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)
-        grid = jnp.stack(
-            jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1
-        )  # (nx, ny, nz, 3) ordered (x, y, z)
-        fan = apply_fan_to_idx(dose_idx_to_fan_idx, grid)
-        fan = fan + jnp.stack([jnp.zeros_like(zshift), jnp.zeros_like(zshift),
-                               zshift])
-        vals = trilinear_border(bev_dose, fan)          # (nx, ny, nz)
-        vals = jnp.transpose(vals, (2, 1, 0))           # -> (nz, ny, nx)
+    vals = transfer_vals(bev_dose, dose_idx_to_fan_idx, bbox_min, bbox_max,
+                         z_shift=z_shift)
     return dose.at[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1].add(vals)

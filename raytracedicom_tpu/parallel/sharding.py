@@ -8,15 +8,21 @@ analogue axes identified there:
     optimization batch members. No communication until the loss reduction
     (a ``psum`` XLA inserts automatically under jit).
   * ``ray`` (spatial / "tensor" parallel) — the BEV ray grid's Y axis.
-    Trace (K1) and IDD/sigma fill (K2) are embarrassingly parallel per ray;
-    the superposition (K5) needs only a fixed ±pad-pixel halo, which GSPMD
-    lowers to a collective-permute over ICI; the BEV→dose transfer (K6)
-    gathers across the resharded slab.
+    Trace (K1) and IDD/sigma fill (K2) are embarrassingly parallel per ray
+    (GSPMD annotations, zero communication). The superposition (K5) and
+    transfer (K6) go through an explicit shard_map overlap-add
+    (engine.superpose_primary / the transfer tail): each shard superposes
+    its own rows into a locally padded slab — a source ray only reaches
+    ±pad rows, so the global padded slab is exactly the overlap-add of the
+    shard slabs — and the transfer resamples each local slab into the dose
+    bbox, combined with ONE psum per beam. Measured alternative (pure GSPMD
+    annotations): the partitioner cannot see into pallas_call, so it
+    replicated K5 behind 170 full-slab all-gathers; tests/test_sharding.py
+    asserts the compiled HLO stays slab-all-gather-free.
 
-Collectives are never written by hand: shardings are annotated on inputs and
-on a few load-bearing intermediates (engine.compute_beam_dose's
-``ray_sharding`` hook) and XLA's SPMD partitioner inserts
-psum/all-gather/ppermute as implied — the scaling-book recipe.
+Everything else follows the scaling-book recipe: annotate shardings on
+inputs and load-bearing intermediates and let the SPMD partitioner insert
+psum/all-gather as implied.
 """
 from __future__ import annotations
 
@@ -33,21 +39,31 @@ from ..engine import BeamInputs, BeamStatic, TableArrays, compute_beam_dose
 FIELD_AXIS = "field"
 RAY_AXIS = "ray"
 
+# Cap on the default ray-axis extent. Ray sharding splits the BEV grid's Y
+# axis (typically ~128-160 rows for the watercube field) and every shard pays
+# a fixed ±pad-row halo (pad = maxSuperpR = 32) at the superposition
+# boundary. At 8 shards each owns ~16-20 rows against a 64-row halo window —
+# already communication-dominated — so the default never shards rays more
+# than 8 ways and gives all remaining devices to the halo-free field axis.
+# Callers with bigger ray grids can pass n_field explicitly.
+MAX_RAY_SHARDS = 8
+
 
 def make_mesh(devices: Optional[Sequence] = None,
               n_field: Optional[int] = None) -> Mesh:
     """2D (field, ray) mesh over the given devices.
 
     ``n_field`` picks the data-parallel extent; the remainder shards rays.
-    Default splits devices as evenly as possible, favouring the field axis
-    (fields never communicate; ray sharding pays halo traffic).
+    Default = the largest divisor of the device count that keeps the ray
+    axis within MAX_RAY_SHARDS (fields never communicate; ray sharding pays
+    halo traffic).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if n_field is None:
         n_field = n
-        while n % n_field or (n // n_field) * 8 > 64:   # keep ray shards sane
+        while n % n_field or n // n_field > MAX_RAY_SHARDS:
             n_field -= 1
     if n % n_field:
         raise ValueError(f"n_field={n_field} must divide device count {n}")

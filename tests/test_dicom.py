@@ -156,3 +156,62 @@ def test_native_reader_matches_python(tmp_path):
     np.testing.assert_allclose(np.asarray(aff_n.m), np.diag([1.0, 1.5, 2.0]),
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(aff_n.v), [-11.5, -17.0, -6.0])
+
+
+def test_divergent_sad_plan_roundtrip_and_dose(tmp_path):
+    """A plan with finite VirtualSourceAxisDistances (0x300A,0x030A) must
+    round-trip through the writer/parser and drive the divergent-fan path
+    end to end (reference: sourceDist plumbing,
+    float3_from_fan_transform.cu:37-42). The divergent dose field must be
+    laterally wider at depth than the parallel-beam dose of the same plan."""
+    from raytracedicom_tpu.config import EngineConfig
+    from raytracedicom_tpu.engine import DoseEngine
+    from raytracedicom_tpu.physics.tables import load_physics_tables
+
+    tables = load_physics_tables(water_cube=True)
+    vol_hu = np.zeros((72, 72, 72), np.float32)
+    ctdir = str(tmp_path / "ct")
+    write_ct_series(ctdir, vol_hu, origin=(-71.0, -71.0, -71.0),
+                    spacing=(2.0, 2.0, 2.0))
+
+    positions = np.array([[x, y] for y in (-8, 0, 8) for x in (-8, 0, 8)],
+                         np.float32)
+    layers = [dict(energy=118.12, positions=positions,
+                   weights=np.full(9, 100.0, np.float32),
+                   spot_size=(10.0, 10.0))]
+    planp = str(tmp_path / "plan.dcm")
+    write_ion_plan(planp, layers, gantry_deg=0.0, isocenter=(0.0, 0.0, 0.0),
+                   source_distances=(900.0, 1700.0))
+
+    ion = read_ion_plan(planp)[0]
+    assert ion.source_distances == (900.0, 1700.0)
+
+    ct, affine = read_ct_series(ctdir)
+    kwargs = dict(ray_spacing=(2.0, 2.0), steps=96, trace_start_z=80.0,
+                  step_len=2.0)
+    beam_div = beam_from_ion_beam(ion, affine, tables, **kwargs)
+    assert beam_div.source_dist == (900.0, 1700.0)
+    # explicit override still wins
+    beam_par = beam_from_ion_beam(
+        ion, affine, tables, source_dist=(float("inf"), float("inf")),
+        **kwargs)
+    assert np.isinf(beam_par.source_dist).all()
+
+    eng = DoseEngine(tables, EngineConfig())
+    dose_div = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam_div]))
+    dose_par = np.asarray(eng.compute_dose(jnp.asarray(ct), [beam_par]))
+    assert np.isfinite(dose_div).all() and dose_div.max() > 0
+
+    # lateral second moment at the Bragg-peak slice: the fan diverges below
+    # the isocenter plane (z=0 is world z=0, mid-volume), so the divergent
+    # footprint is wider at depth
+    k = int(np.argmax(dose_div[:, 36, 36]))
+    ys = np.arange(72) - 36.0
+
+    def lateral_var(d):
+        sl = d[k]
+        w = sl.sum()
+        return float((sl.sum(1) * ys ** 2).sum() / w)
+
+    assert lateral_var(dose_div) > 1.02 * lateral_var(dose_par), (
+        lateral_var(dose_div), lateral_var(dose_par))

@@ -88,3 +88,44 @@ def test_train_step_reduces_loss(setup):
     assert losses[-1] < losses[0], losses
     # weights should move toward the nominal (smaller) values
     assert float(jnp.mean(weights_b)) < float(jnp.mean(w0))
+
+
+def _collective_shapes(hlo_text, opname):
+    """All result-shape element counts of ``opname`` ops in an HLO dump."""
+    import re
+    out = []
+    for m in re.finditer(r"= ([^=]*?) %?" + opname + r"\(", hlo_text):
+        for dims in re.findall(r"\w+\[([0-9,]*)\]", m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            out.append(n)
+    return out
+
+
+def test_ray_sharding_hlo_has_no_slab_allgather(setup):
+    """The compiled ray-sharded program must not all-gather (S, Ry, Rx)
+    BEV slabs: the superposition/transfer boundary goes through the
+    shard_map overlap-add, whose only communication is the dose-bbox psum
+    (VERDICT r1: pure GSPMD replicated the Pallas superposition behind 170
+    full-slab all-gathers)."""
+    ct, inputs, tabs, static, cfg = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8], n_field=1)
+    fn = make_sharded_dose_fn(static, cfg, mesh)
+    dose0 = jnp.zeros(static.dose_shape, jnp.float32)
+    txt = fn.lower(ct, dose0, inputs, tabs).compile().as_text()
+
+    nrx, nry = static.grid.ray_dims
+    slab_elems = static.z_window * nry * nrx
+    ag = _collective_shapes(txt, "all-gather")
+    big = [n for n in ag if n >= slab_elems]
+    assert not big, (
+        f"{len(big)} all-gathers of >= slab size ({slab_elems} elems): {big}")
+    # the overlap-add combine must exist: one all-reduce covering the bbox
+    ar = _collective_shapes(txt, "all-reduce")
+    (x0, y0, z0), (x1, y1, z1) = static.bbox_min, static.bbox_max
+    bbox_elems = (z1 - z0 + 1) * (y1 - y0 + 1) * (x1 - x0 + 1)
+    assert any(n >= bbox_elems for n in ar), (ar, bbox_elems)
