@@ -166,15 +166,70 @@ def lut1d_fast(table: Array, coords: Array) -> Array:
     return lut1d(table, coords)
 
 
+def _lut1d_value_and_slope(table: Array, coords: Array):
+    """(value, clamp-aware slope) of the 1D linear interp, Pallas on TPU."""
+    if on_tpu():
+        return _lut_interp_raw(table, coords)
+    n = table.shape[0]
+    c = jnp.clip(coords, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n - 2)
+    f = c - i0.astype(c.dtype)
+    d = table[i0 + 1] - table[i0]
+    val = table[i0] + d * f
+    in_range = (coords >= 0.0) & (coords <= float(n - 1))
+    return val, jnp.where(in_range, d, 0.0)
+
+
+def _lut1d_value(table: Array, coords: Array) -> Array:
+    if on_tpu():
+        return _lut_interp_raw(table, coords)[0]
+    from ..physics.interp import lut1d
+    return lut1d(table, coords)
+
+
+def _row_blend(table2d: Array, y_scalar: Array):
+    rows = table2d.shape[0]
+    cy = jnp.clip(y_scalar, 0.0, rows - 1.0)
+    iy = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, rows - 2)
+    fy = (cy - iy.astype(table2d.dtype)).astype(table2d.dtype)
+    in_range = (y_scalar >= 0.0) & (y_scalar <= float(rows - 1))
+    return iy, fy, in_range
+
+
+@jax.custom_vjp
 def lut2d_scalar_row_fast(table2d: Array, x: Array, y_scalar: Array) -> Array:
     """2D texture fetch where the row coordinate is a (traced) scalar —
     the cumulIddTex / nuclear-table access pattern (kernel_wrapper.cu:221,
     332): the energy index is fixed per layer while the WEPL coordinate
     varies per element. Blends the two bracketing rows once (O(cols)) and
-    runs the hot per-element lookup through the 1D kernel."""
-    rows = table2d.shape[0]
-    cy = jnp.clip(y_scalar, 0.0, rows - 1.0)
-    iy = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, rows - 2)
-    fy = (cy - iy.astype(table2d.dtype)).astype(table2d.dtype)
+    runs the hot per-element lookup through the 1D kernel.
+
+    Differentiable in (x, y_scalar) only: the table is a calibration
+    constant, so its cotangent is defined as zero. (Routing the generic
+    lut_interp VJP here would materialize a full table cotangent via an
+    XLA scatter-add of every element into ~1k bins per call — measured
+    ~1.5 s of the watercube energy-gradient pass. The y cotangent needs
+    only sum(g * interp(row_hi - row_lo, x)): one extra lane-gather.)"""
+    iy, fy, _ = _row_blend(table2d, y_scalar)
     row = table2d[iy] * (1.0 - fy) + table2d[iy + 1] * fy
-    return lut1d_fast(row, x)
+    return _lut1d_value(row, x)
+
+
+def _lut2d_fwd(table2d, x, y_scalar):
+    iy, fy, in_range_y = _row_blend(table2d, y_scalar)
+    row = table2d[iy] * (1.0 - fy) + table2d[iy + 1] * fy
+    val, slope = _lut1d_value_and_slope(row, x)
+    diff_row = table2d[iy + 1] - table2d[iy]
+    return val, (slope, diff_row, x, in_range_y, table2d)
+
+
+def _lut2d_bwd(res, g):
+    slope, diff_row, x, in_range_y, table2d = res
+    gx = g * slope
+    # d val / d fy = interp(row_hi - row_lo, x); fy' = 1 inside the clamp
+    gy = jnp.sum(g * _lut1d_value(diff_row, x))
+    gy = jnp.where(in_range_y, gy, 0.0).astype(jnp.result_type(gy))
+    return jnp.zeros_like(table2d), gx, gy
+
+
+lut2d_scalar_row_fast.defvjp(_lut2d_fwd, _lut2d_bwd)

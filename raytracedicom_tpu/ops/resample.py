@@ -150,9 +150,25 @@ row_lerp.defvjp(_row_lerp_fwd, _row_lerp_bwd)
 # The separable 3-pass resample
 # ---------------------------------------------------------------------------
 
-def separable_resample(vol: Array, c0: Array, c1: Array, c2: Array) -> Array:
+def separable_resample(vol: Array, c0: Array, c1: Array, c2: Array,
+                       taps: Optional[Tuple[int, int, int]] = None) -> Array:
     """Sample ``vol`` (D0, D1, D2) with border-zero trilinear interpolation at
-    the separable lattice (c0[s], c1[s, j], c2[s, i]); returns (S, J, I)."""
+    the separable lattice (c0[s], c1[s, j], c2[s, i]); returns (S, J, I).
+
+    ``taps``: static per-axis tap counts for the tent-transpose backward
+    (from ``tent_taps`` on the plan's static scales). When given, the
+    coordinates MUST be affine along their lattice axis (true for every fan
+    plan) and the VJP runs as banded gathers — the exact transpose of the
+    three linear passes — instead of XLA scatter-adds (measured 217 -> ~35 ms
+    for the watercube K6 adjoint). Coordinate cotangents are defined as zero
+    under ``taps`` (all engine coordinate inputs are geometry statics or
+    integer-derived shifts)."""
+    if taps is not None:
+        return _separable_resample_tent(vol, c0, c1, c2, taps)
+    return _separable_resample_impl(vol, c0, c1, c2)
+
+
+def _separable_resample_impl(vol: Array, c0: Array, c1: Array, c2: Array) -> Array:
     D0, D1, D2 = vol.shape
     S = c0.shape[0]
     J = c1.shape[1]
@@ -187,6 +203,182 @@ def separable_resample(vol: Array, c0: Array, c1: Array, c2: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Tent-transpose backward: the adjoint of a linear-interp resample along one
+# axis is a *tent-kernel gather* with the inverse (affine) index map —
+# g_in[c] = sum_i max(0, 1 - |u_i - c|) * g_out[i] over the <= 2/|slope|+1
+# outputs i whose sample position u_i lands within one cell of c. No
+# scatter-adds anywhere; each pass stays a banded gather at bandwidth.
+# ---------------------------------------------------------------------------
+
+def tent_taps(scale: float) -> int:
+    """Static tap count covering every output within one cell of an input
+    for an affine lattice with |slope| >= scale (one index of slack for the
+    floating-point reconstruction of the affine map from the coords)."""
+    import math
+    if scale <= 1e-6:
+        raise ValueError(f"resample scale {scale} too small for tent taps")
+    return 2 * (int(math.ceil(1.0 / scale)) + 1) + 1
+
+
+def _affine_of_rows(coords: Array, n: int):
+    """Per-row affine (a, b) reconstructed from affine-by-construction
+    coords (R, n); a := 1 for degenerate n == 1 (window logic still covers
+    the single input)."""
+    if n > 1:
+        a = (coords[:, n - 1:n] - coords[:, 0:1]) / (n - 1)
+    else:
+        a = jnp.ones_like(coords[:, 0:1])
+    return a, coords[:, 0:1]
+
+
+def _row_tent_kernel(g_ref, coord_ref, out_ref, *, n_in: int, n_out: int,
+                     groups_in: int, tiles_out: int, taps: int):
+    g_all = g_ref[:]                                   # (BR, I_pad)
+    u_all = coord_ref[:]
+    a, b = _affine_of_rows(u_all, n_in)
+    inv_a = 1.0 / a
+    for t in range(tiles_out):
+        c = (jax.lax.broadcasted_iota(jnp.int32, (g_all.shape[0], LANES), 1)
+             + t * LANES).astype(g_all.dtype)
+        base = jnp.floor((c - b) * inv_a).astype(jnp.int32) - taps // 2
+        acc = jnp.zeros(c.shape, g_all.dtype)
+        for k in range(taps):
+            idx = base + k
+            valid = (idx >= 0) & (idx <= n_in - 1)
+            idxc = jnp.clip(idx, 0, n_in - 1)
+            hi, lo = idxc // LANES, idxc % LANES
+            uv = jnp.zeros(c.shape, g_all.dtype)
+            gv = jnp.zeros(c.shape, g_all.dtype)
+            for gi in range(groups_in):
+                m = hi == gi
+                ug = u_all[:, gi * LANES:(gi + 1) * LANES]
+                gg = g_all[:, gi * LANES:(gi + 1) * LANES]
+                uv = jnp.where(m, jnp.take_along_axis(ug, lo, axis=1), uv)
+                gv = jnp.where(m, jnp.take_along_axis(gg, lo, axis=1), gv)
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(uv - c))
+            acc = acc + jnp.where(valid, w * gv, 0.0)
+        out_ref[:, t * LANES:(t + 1) * LANES] = acc
+
+
+def _row_tent_pallas(g: Array, coords: Array, n_out: int, taps: int) -> Array:
+    """Transpose of ``row_lerp``: g (R, I) cotangents of outputs that read
+    ``coords`` (R, I, affine per row), returns (R, n_out) input cotangents."""
+    R, I = g.shape
+    i_pad = -(-I // LANES) * LANES
+    c_pad = -(-n_out // LANES) * LANES
+    r_pad = -(-R // _ROW_BLOCK) * _ROW_BLOCK
+    g_p = jnp.pad(g, ((0, r_pad - R), (0, i_pad - I)))
+    coords_p = jnp.pad(coords, ((0, r_pad - R), (0, i_pad - I)))
+    kern = functools.partial(_row_tent_kernel, n_in=I, n_out=n_out,
+                             groups_in=i_pad // LANES,
+                             tiles_out=c_pad // LANES, taps=taps)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((r_pad, c_pad), g.dtype),
+        grid=(r_pad // _ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((_ROW_BLOCK, i_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_BLOCK, i_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_BLOCK, c_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(g_p, coords_p)
+    return out[:R, :n_out]
+
+
+def _row_tent_jnp(g: Array, coords: Array, n_out: int, taps: int) -> Array:
+    R, I = g.shape
+    a, b = _affine_of_rows(coords, I)
+    c = jnp.arange(n_out, dtype=g.dtype)[None, :]
+    base = jnp.floor((c - b) / a).astype(jnp.int32) - taps // 2
+    out = jnp.zeros((R, n_out), g.dtype)
+    for k in range(taps):
+        idx = base + k
+        valid = (idx >= 0) & (idx <= I - 1)
+        idxc = jnp.clip(idx, 0, I - 1)
+        u = jnp.take_along_axis(coords, idxc, axis=1)
+        gv = jnp.take_along_axis(g, idxc, axis=1)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(u - c))
+        out = out + jnp.where(valid, w * gv, 0.0)
+    return out
+
+
+def row_tent(g: Array, coords: Array, n_out: int, taps: int) -> Array:
+    from .pallas_lut import on_tpu
+    if on_tpu():
+        return _row_tent_pallas(g, coords, n_out, taps)
+    return _row_tent_jnp(g, coords, n_out, taps)
+
+
+def _separable_transpose(g: Array, c0: Array, c1: Array, c2: Array,
+                         vol_shape, taps) -> Array:
+    """Exact transpose of the 3-pass resample, applied in reverse order."""
+    D0, D1, D2 = vol_shape
+    S, J, I = g.shape
+    t0, t1, t2 = taps
+
+    # pass 3 transpose (lane axis, Pallas on TPU)
+    coords2 = jnp.broadcast_to(c2[:, None, :], (S, J, I)).reshape(S * J, I)
+    gB = row_tent(g.reshape(S * J, I), coords2, D2, t2).reshape(S, J, D2)
+
+    # pass 2 transpose along axis 1 (contiguous row gathers)
+    if J > 1:
+        a1 = (c1[:, J - 1:J] - c1[:, 0:1]) / (J - 1)
+    else:
+        a1 = jnp.ones_like(c1[:, 0:1])
+    b1 = c1[:, 0:1]
+    q = jnp.arange(D1, dtype=g.dtype)[None, :]
+    base = jnp.floor((q - b1) / a1).astype(jnp.int32) - t1 // 2   # (S, D1)
+    gA = jnp.zeros((S, D1, D2), g.dtype)
+    for k in range(t1):
+        idx = base + k
+        valid = (idx >= 0) & (idx <= J - 1)
+        idxc = jnp.clip(idx, 0, J - 1)
+        u = jnp.take_along_axis(c1, idxc, axis=1)                 # (S, D1)
+        w = jnp.where(valid, jnp.maximum(0.0, 1.0 - jnp.abs(u - q)), 0.0)
+        gv = jnp.take_along_axis(gB, idxc[:, :, None], axis=1)    # (S, D1, D2)
+        gA = gA + w[:, :, None] * gv
+
+    # pass 1 transpose along axis 0 (whole-slice takes)
+    if S > 1:
+        a0 = (c0[S - 1] - c0[0]) / (S - 1)
+    else:
+        a0 = jnp.ones_like(c0[0])
+    d = jnp.arange(D0, dtype=g.dtype)
+    base = jnp.floor((d - c0[0]) / a0).astype(jnp.int32) - t0 // 2  # (D0,)
+    gvol = jnp.zeros((D0, D1, D2), g.dtype)
+    for k in range(t0):
+        idx = base + k
+        valid = (idx >= 0) & (idx <= S - 1)
+        idxc = jnp.clip(idx, 0, S - 1)
+        u = c0[idxc]
+        w = jnp.where(valid, jnp.maximum(0.0, 1.0 - jnp.abs(u - d)), 0.0)
+        gvol = gvol + w[:, None, None] * gA[idxc]
+    return gvol
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _separable_resample_tent(vol, c0, c1, c2, taps):
+    return _separable_resample_impl(vol, c0, c1, c2)
+
+
+def _srt_fwd(vol, c0, c1, c2, taps):
+    out = _separable_resample_impl(vol, c0, c1, c2)
+    return out, (vol.shape, c0, c1, c2)
+
+
+def _srt_bwd(taps, res, g):
+    vol_shape, c0, c1, c2 = res
+    gvol = _separable_transpose(g, c0, c1, c2, vol_shape, taps)
+    return gvol, jnp.zeros_like(c0), jnp.zeros_like(c1), jnp.zeros_like(c2)
+
+
+_separable_resample_tent.defvjp(_srt_fwd, _srt_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Separability detection + coordinate construction (host-side, static)
 # ---------------------------------------------------------------------------
 
@@ -210,14 +402,31 @@ def _axis_assignment(m: np.ndarray) -> Optional[Tuple[int, int, int]]:
     return d, u, v
 
 
+def _minabs_over_ends(v0: float, v1: float) -> float:
+    """min |slope| over an affine range, 0 when the sign flips inside it."""
+    if v0 * v1 <= 0.0:
+        return 0.0
+    return float(min(abs(v0), abs(v1)))
+
+
+def taps_from_scales(scales) -> Optional[Tuple[int, int, int]]:
+    """Static tent-transpose tap counts, or None when any axis scale is too
+    small to bound the band (falls back to the scatter-add VJP)."""
+    if scales is None or min(scales) < 0.05:
+        return None
+    return tuple(tent_taps(s) for s in scales)
+
+
 def fan_from_idx_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
                       steps: int):
     """Static plan for K1: trace-lattice resample of the image volume.
 
-    Returns (perm, make_coords) where ``perm`` transposes the (Z, Y, X)
-    volume so its axes are (d, v, u), and ``make_coords()`` builds
-    (c0 (S,), c1 (S, J), c2 (S, I)) in the permuted axis order — or None if
-    the geometry is not separable (general rotation)."""
+    Returns (perm, make_coords, scales) where ``perm`` transposes the
+    (Z, Y, X) volume so its axes are (d, v, u), ``make_coords()`` builds
+    (c0 (S,), c1 (S, J), c2 (S, I)) in the permuted axis order, and
+    ``scales`` are host floats bounding the per-axis |d coord / d index|
+    from below (for ``taps_from_scales``) — or None if the geometry is not
+    separable (general rotation)."""
     m = np.asarray(t.gantry_to_im_idx.m, np.float64)
     delta = np.asarray(t.fan_idx_to_fan.delta, np.float64)
     # effective dependence: coordinate c depends on i iff m[c,0]*dx != 0
@@ -256,9 +465,25 @@ def fan_from_idx_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
               + (mm[u, 1] * gy_const + mm[u, 2] * gz + vv[u])[:, None])
         return c0, c1, c2
 
+    # static per-axis slope bounds for the tent-transpose backward
+    mn = np.asarray(t.gantry_to_im_idx.m, np.float64)
+    dln = np.asarray(t.fan_idx_to_fan.delta, np.float64)
+    offn = np.asarray(t.fan_idx_to_fan.offset, np.float64)
+    sdn = np.asarray(t.source_dist, np.float64)
+    rsd = np.where(np.isinf(sdn), 0.0, 1.0 / sdn)
+    # d sx/ds = -dl_z/sd_x (sx affine in s), likewise sy
+    s0 = abs(mn[d, 0] * offn[0] * (-dln[2] * rsd[0])
+             + mn[d, 1] * offn[1] * (-dln[2] * rsd[1]) + mn[d, 2] * dln[2])
+    gz_ends = offn[2] + np.array([0.0, steps - 1.0]) * dln[2]
+    sx_ends = 1.0 - gz_ends * rsd[0]
+    sy_ends = 1.0 - gz_ends * rsd[1]
+    s1 = _minabs_over_ends(*(mn[v, 1] * dln[1] * sy_ends))
+    s2 = _minabs_over_ends(*(mn[u, 0] * dln[0] * sx_ends))
+    scales = (float(s0), s1, s2)
+
     # volume (Z, Y, X): coordinate axis c corresponds to volume axis 2 - c
     perm = (2 - d, 2 - v, 2 - u)
-    return perm, make_coords
+    return perm, make_coords, scales
 
 
 def fan_to_idx_plan(t: FanToIdxTransform, bbox_min, bbox_max):
@@ -266,7 +491,8 @@ def fan_to_idx_plan(t: FanToIdxTransform, bbox_min, bbox_max):
 
     Output lattice is the dose bbox in (z, y, x) order: S = nz, J = ny,
     I = nx. The BEV volume is already (k, j, i)-ordered, so perm is fixed
-    (0, 1, 2) with c0 = fan_k(z), c1 = fan_j(y, z), c2 = fan_i(x, z)."""
+    (0, 1, 2) with c0 = fan_k(z), c1 = fan_j(y, z), c2 = fan_i(x, z).
+    Returns (perm, make_coords, scales) like ``fan_from_idx_plan``."""
     b = np.asarray(t.im_idx_to_gantry.m, np.float64)
     # gantry z must depend only on dose z; gantry x only on (x, z); y on (y, z)
     if (abs(b[2, 0]) > 1e-12 or abs(b[2, 1]) > 1e-12
@@ -295,4 +521,19 @@ def fan_to_idx_plan(t: FanToIdxTransform, bbox_min, bbox_max):
         c2 = gx * dl[0] + off[0]
         return c0, c1, c2
 
-    return (0, 1, 2), make_coords
+    bn = np.asarray(t.im_idx_to_gantry.m, np.float64)
+    vn = np.asarray(t.im_idx_to_gantry.v, np.float64)
+    dln = np.asarray(t.fan_to_fan_idx.delta, np.float64)
+    sdn = np.asarray(t.source_dist, np.float64)
+    gz_ends = bn[2, 2] * np.array([float(z0), float(z1)]) + vn[2]
+    den_x = np.ones(2) if np.isinf(sdn[0]) else 1.0 - gz_ends / sdn[0]
+    den_y = np.ones(2) if np.isinf(sdn[1]) else 1.0 - gz_ends / sdn[1]
+    s0 = abs(bn[2, 2] * dln[2])
+    if den_y[0] * den_y[1] <= 0.0 or den_x[0] * den_x[1] <= 0.0:
+        s1 = s2 = 0.0
+    else:
+        s1 = abs(bn[1, 1] * dln[1]) / float(np.max(np.abs(den_y)))
+        s2 = abs(bn[0, 0] * dln[0]) / float(np.max(np.abs(den_x)))
+    scales = (float(s0), float(s1), float(s2))
+
+    return (0, 1, 2), make_coords, scales

@@ -113,15 +113,16 @@ def trace_density_and_sp(
       first_outside = 1 + (last step with HU > 150)
     become mask counts / reversed argmax over precomputed arrays.
     """
-    from .resample import fan_from_idx_plan, separable_resample
+    from .resample import fan_from_idx_plan, separable_resample, taps_from_scales
 
     plan = fan_from_idx_plan(t, ray_dims, steps)
     if plan is not None:
         # axis-separable gantry (signed scaled permutation): exact 3-pass
         # trilinear resample — bandwidth-bound instead of gather-bound
-        perm, make_coords = plan
+        perm, make_coords, scales = plan
         c0, c1, c2 = make_coords()
-        hu = separable_resample(jnp.transpose(ct_vol, perm), c0, c1, c2)
+        hu = separable_resample(jnp.transpose(ct_vol, perm), c0, c1, c2,
+                                taps=taps_from_scales(scales))
         _, _, step_len = ray_start_inc(t, ray_dims)
     else:
         start, inc, step_len = ray_start_inc(t, ray_dims)

@@ -79,7 +79,7 @@ def transfer_vals(
     where each shard's slab covers padded rows [k*Yloc, k*Yloc + Yloc + 2pad)
     of the global slab (y_shift = -k*Yloc).
     """
-    from .resample import fan_to_idx_plan, separable_resample
+    from .resample import fan_to_idx_plan, separable_resample, taps_from_scales
 
     (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
     zshift = jnp.asarray(0.0, bev_dose.dtype) if z_shift is None else z_shift
@@ -87,9 +87,10 @@ def transfer_vals(
 
     plan = fan_to_idx_plan(dose_idx_to_fan_idx, bbox_min, bbox_max)
     if plan is not None:
-        _, make_coords = plan
+        _, make_coords, scales = plan
         c0, c1, c2 = make_coords()
-        return separable_resample(bev_dose, c0 + zshift, c1 + yshift, c2)
+        return separable_resample(bev_dose, c0 + zshift, c1 + yshift, c2,
+                                  taps=taps_from_scales(scales))
     xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
     ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
     zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)

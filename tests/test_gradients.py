@@ -131,7 +131,7 @@ def test_grad_ct_through_resample():
     ray_dims, steps = (16, 24), 48
     rng = np.random.RandomState(0)
     vol = jnp.asarray(rng.rand(40, 44, 48).astype(np.float32))
-    perm, mk = fan_from_idx_plan(t, ray_dims, steps)
+    perm, mk, _ = fan_from_idx_plan(t, ray_dims, steps)
     c0, c1, c2 = mk()
 
     def f_sep(v):

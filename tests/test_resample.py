@@ -49,7 +49,7 @@ def test_separable_matches_general(m, source):
     ray_dims, steps = (16, 24), 48
     plan = fan_from_idx_plan(t, ray_dims, steps)
     assert plan is not None, "geometry should be separable"
-    perm, make_coords = plan
+    perm, make_coords, scales = plan
     c0, c1, c2 = make_coords()
     out = separable_resample(jnp.transpose(vol, perm), c0, c1, c2)
     ref = _general(vol, t, ray_dims, steps)
@@ -98,3 +98,42 @@ def test_row_lerp_border_and_grad():
         rm = rows.at[a, b].add(-eps)
         fd = (f(rp) - f(rm)) / (2 * eps)
         np.testing.assert_allclose(float(g[a, b]), float(fd), rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("m,source", [
+    (np.eye(3, dtype=np.float32), (np.inf, np.inf)),
+    (np.eye(3, dtype=np.float32), (900.0, 1100.0)),
+    (ROT90, (950.0, 950.0)),
+    (SCALED, (800.0, np.inf)),
+])
+def test_tent_transpose_matches_scatter_vjp(m, source):
+    """The banded tent-gather backward (taps=...) must equal the scatter-add
+    backward (taps=None) — both are the transpose of the same linear map."""
+    from raytracedicom_tpu.ops.resample import taps_from_scales
+
+    rng = np.random.RandomState(7)
+    vol = jnp.asarray(rng.rand(40, 44, 48).astype(np.float32))
+    t = FanFromIdxTransform(
+        np_idx([1.3, 0.9, -1.1], [-9.0, -7.0, 30.0]),
+        np.asarray(source, np.float32),
+        np_affine(m * 0.9, [20.0, 22.0, 24.0]),
+    )
+    ray_dims, steps = (16, 24), 48
+    perm, make_coords, scales = fan_from_idx_plan(t, ray_dims, steps)
+    taps = taps_from_scales(scales)
+    assert taps is not None
+    c0, c1, c2 = make_coords()
+    g_out = jnp.asarray(rng.randn(steps, ray_dims[1], ray_dims[0]).astype(np.float32))
+
+    def f(v, tp):
+        return jnp.sum(separable_resample(jnp.transpose(v, perm),
+                                          c0, c1, c2, taps=tp) * g_out)
+
+    # forward values identical regardless of taps
+    np.testing.assert_array_equal(np.asarray(jax.jit(lambda v: f(v, taps))(vol)),
+                                  np.asarray(jax.jit(lambda v: f(v, None))(vol)))
+    g_tent = jax.jit(jax.grad(lambda v: f(v, taps)))(vol)
+    g_scat = jax.jit(jax.grad(lambda v: f(v, None)))(vol)
+    scale = float(jnp.max(jnp.abs(g_scat))) + 1e-30
+    np.testing.assert_allclose(np.asarray(g_tent), np.asarray(g_scat),
+                               rtol=1e-5, atol=1e-6 * scale)
