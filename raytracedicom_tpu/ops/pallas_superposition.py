@@ -323,15 +323,30 @@ def _sup_fwd(idd, rs, rad_steps, radius, pad):
 
 
 def _sup_bwd(radius, pad, res, g):
-    idd, rs, eff = res
+    """Adjoint dispatch mirrors the forward's adaptivity: an MXU banded-
+    matmul transpose when every slice's live rays share one sigma (runtime
+    lax.cond — homogeneous media, incl. the watercube benchmark), the
+    per-source Pallas/jnp adjoint otherwise."""
     from .pallas_lut import on_tpu
-    if on_tpu():
-        di, dr = superpose_bwd_pallas(idd, rs, g, eff, radius, pad)
-        return di, dr, None
-    _, vjp = jax.vjp(
-        lambda a, b: superpose_masked_jnp(a, b, eff, radius, pad), idd, rs
-    )
-    di, dr = vjp(g)
+    from .superposition import slice_uniform_rs, superpose_bwd_uniform_mxu
+
+    idd, rs, eff = res
+    rs_slice, all_uniform = slice_uniform_rs(idd, rs)
+
+    def mxu(args):
+        a, b, gg = args
+        return superpose_bwd_uniform_mxu(a, b, rs_slice, gg, eff, radius, pad)
+
+    def general(args):
+        a, b, gg = args
+        if on_tpu():
+            return superpose_bwd_pallas(a, b, gg, eff, radius, pad)
+        _, vjp = jax.vjp(
+            lambda u, v: superpose_masked_jnp(u, v, eff, radius, pad), a, b
+        )
+        return vjp(gg)
+
+    di, dr = jax.lax.cond(all_uniform, mxu, general, (idd, rs, g))
     return di, dr, None
 
 

@@ -179,6 +179,52 @@ def superpose_uniform_mxu(idd: Array, rs_slice: Array, rad_steps: Array,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+_INV_SQRT_PI = 0.5641895835477563
+
+
+def superpose_bwd_uniform_mxu(idd: Array, rs_full: Array, rs_slice: Array,
+                              g: Array, rad_steps: Array, radius: int,
+                              pad: int):
+    """Adjoint of the per-source superposition evaluated on the uniform
+    manifold (every live ray in a slice shares rs == rs_slice[s]):
+
+      g_idd = Wy G Wx^T           (banded correlation — the matmul transpose)
+      g_rs  = idd * (dWy G Wx^T + Wy G dWx^T)
+
+    with dW[k]/drs = (1/sqrt(pi))*((k+1/2)e_hi - (k-1/2)e_lo). Six S-batched
+    banded matmuls on the MXU instead of the per-source VPU window walk.
+    Rays with idd == 0 carry rs = BIG (dead): their own weights collapse to
+    the center tap, so g_idd is patched to the center window there (the
+    engine masks those cotangents anyway, but this keeps the VJP exact)."""
+    S, Y, X = idd.shape
+    hp = jax.lax.Precision.HIGHEST
+    ks = jnp.arange(radius + 1, dtype=idd.dtype)
+    a_hi = rs_slice[:, None] * (ks + 0.5)
+    a_lo = rs_slice[:, None] * (ks - 0.5)
+    w = 0.5 * (jax.scipy.special.erf(a_hi) - jax.scipy.special.erf(a_lo))
+    dw = _INV_SQRT_PI * ((ks + 0.5) * jnp.exp(-a_hi * a_hi)
+                         - (ks - 0.5) * jnp.exp(-a_lo * a_lo))
+    mask = jnp.arange(radius + 1)[None] <= rad_steps[:, None]
+    w = jnp.where(mask, w, 0.0)
+    dw = jnp.where(mask, dw, 0.0)
+    wy = _band_matrix(w, Y, pad, radius)
+    wx = _band_matrix(w, X, pad, radius)
+    dwy = _band_matrix(dw, Y, pad, radius)
+    dwx = _band_matrix(dw, X, pad, radius)
+    t = jnp.einsum("syp,spq->syq", wy, g, precision=hp)
+    g_idd = jnp.einsum("syq,sxq->syx", t, wx, precision=hp)
+    td = jnp.einsum("syp,spq->syq", dwy, g, precision=hp)
+    r1 = jnp.einsum("syq,sxq->syx", td, wx, precision=hp)
+    r2 = jnp.einsum("syq,sxq->syx", t, dwx, precision=hp)
+    g_rs = idd * (r1 + r2)
+    # dead slices (rad_steps == -1) truncate even the center tap, so their
+    # cotangent stays the (zero) matmul result
+    center = g[:, pad:pad + Y, pad:pad + X]
+    center_ok = (rs_full > 1e8) & (rad_steps >= 0)[:, None, None]
+    g_idd = jnp.where(center_ok, center, g_idd)
+    return g_idd, g_rs
+
+
 # ---------------------------------------------------------------------------
 # Golden model (scatter form, numpy) — literal transcription of
 # kernelSuperposition<rad> semantics with a uniform radius.
