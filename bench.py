@@ -97,6 +97,58 @@ def main():
     grad_pass()
     grad_ms, grad_times = _median_ms(grad_pass, n_trials=3)
 
+    # ---- patient-like heterogeneous CT (the reference's actual headline
+    # claim is sub-second on patient CT, README.md:2): same plan geometry,
+    # H&N tables, every depth slice mixing lung/soft/bone sigma histories so
+    # the general per-source superposition branch runs, not the MXU
+    # homogeneous fast path ----
+    het_tables = load_physics_tables(water_cube=False)
+    het_ct = jnp.asarray(plan.patient_ct()[0])
+    het_beam = plan.watercube_beam(het_tables)
+    het_eng = DoseEngine(het_tables, cfg)
+    het_static = het_eng.beam_static(het_beam, het_ct.shape)
+    het_inputs = BeamInputs(
+        spot_weights=jnp.asarray(het_beam.spot_weights),
+        energies=jnp.asarray(het_beam.energies),
+        spot_sigmas=jnp.asarray(het_beam.spot_sigmas),
+    )
+    het_kernel = het_eng._kernel(het_static)
+
+    def het_forward():
+        dose = jnp.zeros(het_static.dose_shape, jnp.float32)
+        return float(jnp.max(het_kernel(het_ct, dose, het_inputs,
+                                        het_eng.table_arrays)))
+
+    het_mx = het_forward()
+    assert np.isfinite(het_mx) and het_mx > 0, f"bad hetero dose max {het_mx}"
+    het_forward()
+    het_ms, het_times = _median_ms(het_forward)
+
+    het_target = het_kernel(het_ct, jnp.zeros(het_static.dose_shape, jnp.float32),
+                            het_inputs, het_eng.table_arrays)
+    het_target = jax.block_until_ready(het_target)
+
+    @jax.jit
+    def het_loss_and_grad(weights, energies, sigmas):
+        def loss(w, e):
+            inp = BeamInputs(spot_weights=w, energies=e, spot_sigmas=sigmas)
+            dose0 = jnp.zeros(het_static.dose_shape, het_ct.dtype)
+            dose = compute_beam_dose(het_ct, dose0, inp,
+                                     het_eng.table_arrays, het_static, cfg)
+            return jnp.mean((dose - het_target) ** 2) / jnp.mean(het_target ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1))(weights, energies)
+
+    def het_grad_pass():
+        val, (gw, ge) = het_loss_and_grad(0.9 * het_inputs.spot_weights,
+                                          het_inputs.energies,
+                                          het_inputs.spot_sigmas)
+        return float(val) + float(jnp.sum(gw)) + float(jnp.sum(ge))
+
+    hgv = het_grad_pass()
+    assert np.isfinite(hgv), f"bad hetero grad-pass value {hgv}"
+    het_grad_pass()
+    het_grad_ms, het_grad_times = _median_ms(het_grad_pass, n_trials=3)
+
     n_layers, sy, sx = np.asarray(beam.spot_weights).shape
     beamlets = n_layers * sy * sx
     nrx, nry = static.grid.ray_dims
@@ -105,6 +157,9 @@ def main():
     print(f"# fwd trials: {[round(t, 2) for t in fwd_times]}, "
           f"grad trials: {[round(t, 2) for t in grad_times]}, "
           f"dose max {mx:.4g}", file=sys.stderr)
+    print(f"# hetero fwd trials: {[round(t, 2) for t in het_times]}, "
+          f"grad trials: {[round(t, 2) for t in het_grad_times]}, "
+          f"dose max {het_mx:.4g}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "watercube_forward_ms_per_beam",
@@ -116,6 +171,9 @@ def main():
         "ray_steps_per_s": round(rays * beam.steps / (fwd_ms / 1e3), 1),
         "grad_pass_ms": round(grad_ms, 2),
         "grad_fwd_ratio": round(grad_ms / fwd_ms, 3),
+        "hetero_forward_ms_per_beam": round(het_ms, 2),
+        "hetero_grad_pass_ms": round(het_grad_ms, 2),
+        "hetero_grad_fwd_ratio": round(het_grad_ms / het_ms, 3),
         "n_devices": len(jax.devices()),
     }))
 

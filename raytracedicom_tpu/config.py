@@ -27,7 +27,10 @@ class EngineConfig:
 
     # TPU-side knobs (no reference equivalent)
     superp_chunk_z: int = 8             # z-slices per superposition weight chunk
-    remat_layers: bool = True           # jax.checkpoint each energy layer
+    # jax.checkpoint each energy layer: off by default — the per-layer
+    # adjoints are cheap enough that storing residuals beats recomputing the
+    # forward (measured r3: watercube grad 312 -> 244 ms, hetero 508 -> 435)
+    remat_layers: bool = False
 
     @property
     def nuclear_enabled(self) -> bool:

@@ -14,9 +14,9 @@ Pipeline per beam (reference stage in parens):
   3. per-layer energy interpolation + entry sigmas + nozzle model
                                      (host loop kernel_wrapper.cu:829-849)
   4. spot_to_ray_weights             (K3  gpuConvolution2D)
-  5. scan over energy layers: fill_idd_and_sigma -> step_radii +
-     superpose_pallas (adaptive-radius Pallas kernel; jnp mirror on CPU)
-                                     (K2, K4, K5)
+  5. scan over energy layers: fill_idd_and_sigma -> effective_sem_radii +
+     superpose_adaptive (per-band-radius bucketed Pallas kernel or MXU
+     banded matmuls; jnp mirror on CPU)  (K2, K4, K5)
   6. transfer_bev_to_dose            (K6  primTransfDiv)
 plus the nuclear-halo branch when enabled (NUCLEAR_CORR).
 """
@@ -38,7 +38,11 @@ from .geometry.transforms import (
 )
 from .ops import idd_sigma as isig
 from .ops import spot_conv, superposition, trace, transfer
-from .ops.pallas_superposition import step_radii, superpose_adaptive
+from .ops.pallas_superposition import (
+    SEM_TY,
+    effective_sem_radii,
+    superpose_adaptive,
+)
 from .physics.interp import interp_at_index, interp_decimal_index
 from .plan import Beam, RayGridGeometry, compute_ray_grid
 
@@ -95,7 +99,7 @@ class BeamStatic:
     steps: int
     n_layers: int
     pad: int
-    radii: Tuple[int, ...]
+    max_radius: int
     z_window: int                       # live-depth window length (steps)
     dose_shape: Tuple[int, int, int]    # (Zd, Yd, Xd)
     bbox_min: Tuple[int, int, int]
@@ -114,12 +118,6 @@ class BeamStatic:
     nuc_d2f: object = None
     nuc_bbox_min: Optional[Tuple[int, int, int]] = None
     nuc_bbox_max: Optional[Tuple[int, int, int]] = None
-
-
-def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
-    base = [0, 2, 4, 6, 8, 12, 16, 24, 32]
-    radii = tuple(r for r in base if r < max_radius) + (max_radius,)
-    return radii
 
 
 def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
@@ -145,7 +143,6 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
         float(np.max(beam.spot_sigmas)), max_peak, px_w,
         cfg.ks_sigma_cutoff, sigma_delta, cfg.max_superp_radius,
     )
-    radii = _radius_buckets(max_r)
     pad = cfg.max_superp_radius
 
     # live-depth window: from patient entry to the deepest possible Bragg
@@ -214,7 +211,7 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
         steps=beam.steps,
         n_layers=int(beam.spot_weights.shape[0]),
         pad=pad,
-        radii=radii,
+        max_radius=max_r,
         z_window=z_window,
         dose_shape=dose_shape,
         bbox_min=bbox_min,
@@ -266,7 +263,14 @@ def _ray_shard_info(ray_sharding, nry: int):
     n_ray = mesh.shape[axis]
     if nry % n_ray:
         return None
-    return mesh, axis, n_ray, nry // n_ray
+    y_loc = nry // n_ray
+    # the per-8-row-band truncation radii must tile identically in the
+    # sharded and unsharded programs: each shard must consist of whole
+    # bands, or lie entirely inside one band
+    st = SEM_TY if nry % SEM_TY == 0 else nry
+    if y_loc % st and st % y_loc:
+        return None
+    return mesh, axis, n_ray, y_loc
 
 
 def compute_beam_dose(
@@ -391,8 +395,9 @@ def compute_beam_dose(
 
     def superpose(idd_w, rs_w, max_r, pad):
         # MXU banded matmuls when the layer's live rays share per-slice
-        # sigmas, per-source Pallas/jnp kernel otherwise (runtime lax.cond)
-        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
+        # sigmas, per-source bucketed Pallas/jnp kernel otherwise (runtime
+        # lax.cond); truncation is per (slice, 8-row band) — K4 parity
+        rads = effective_sem_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
         return superpose_adaptive(idd_w, rs_w, rads, max_r, pad)
 
     rsh = _ray_shard_info(ray_sharding, nry)
@@ -401,21 +406,28 @@ def compute_beam_dose(
         """Primary-beam superposition; under ray sharding, returns the
         per-shard locally-padded slabs stacked on a leading mesh axis
         (n_ray, W, y_loc + 2*pad, Rx + 2*pad) instead of the global slab."""
-        max_r, pad = max(static.radii), static.pad
-        # radius truncation must stay a GLOBAL per-slice quantity so the
+        max_r, pad = static.max_radius, static.pad
+        # truncation radii stay a GLOBAL per-(slice, band) quantity so the
         # sharded and unsharded programs are numerically identical
-        rads = step_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
+        rads = effective_sem_radii(rs_w, cfg.ks_sigma_cutoff, max_r)
         if rsh is None:
             return superpose_adaptive(idd_w, rs_w, rads, max_r, pad)
         mesh, axis, n_ray, y_loc = rsh
+        st = SEM_TY if nry % SEM_TY == 0 else nry
+        n8_loc = max(1, y_loc // st)
         P = jax.sharding.PartitionSpec
 
         def body(idd_loc, rs_loc, rads_g):
-            out = superpose_adaptive(idd_loc, rs_loc, rads_g, max_r, pad)
+            # shard k's rows start at global band (k*y_loc)//st; a shard is
+            # either whole bands or inside one band (_ray_shard_info)
+            k = jax.lax.axis_index(axis)
+            rads_loc = jax.lax.dynamic_slice(
+                rads_g, (0, (k * y_loc) // st), (rads_g.shape[0], n8_loc))
+            out = superpose_adaptive(idd_loc, rs_loc, rads_loc, max_r, pad)
             return out[None]
 
         # check_vma=False: the varying-manual-axes checker rejects mixing
-        # the replicated rad_steps with ray-varying slabs inside lax.cond
+        # the replicated band radii with ray-varying slabs inside lax.cond
         return jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(None, axis, None), P(None, axis, None), P()),
@@ -537,7 +549,8 @@ def _static_key(static: BeamStatic) -> str:
         if m is not None:
             h.update(np.ascontiguousarray(m).tobytes())
     h.update(repr((
-        static.grid, static.steps, static.n_layers, static.pad, static.radii,
+        static.grid, static.steps, static.n_layers, static.pad,
+        static.max_radius,
         static.z_window, static.dose_shape, static.bbox_min, static.bbox_max,
         static.spot_delta, static.spot_offset, static.nuc_dims,
         static.nuc_radius, static.spot_dist, static.nuc_bbox_min,
@@ -585,7 +598,7 @@ class DoseEngine:
         lines = [
             f"ray grid {static.grid.ray_dims} @ {static.grid.ray_res[:2]} mm, "
             f"{static.steps} steps (live window {static.z_window})",
-            f"superposition radii {static.radii} (pad {static.pad}); "
+            f"superposition max radius {static.max_radius} (pad {static.pad}); "
             f"dose bbox {static.bbox_min}..{static.bbox_max}",
         ]
         energies = np.asarray(beam.energies)

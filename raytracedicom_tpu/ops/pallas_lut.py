@@ -196,7 +196,6 @@ def _row_blend(table2d: Array, y_scalar: Array):
     return iy, fy, in_range
 
 
-@jax.custom_vjp
 def lut2d_scalar_row_fast(table2d: Array, x: Array, y_scalar: Array) -> Array:
     """2D texture fetch where the row coordinate is a (traced) scalar —
     the cumulIddTex / nuclear-table access pattern (kernel_wrapper.cu:221,
@@ -204,12 +203,17 @@ def lut2d_scalar_row_fast(table2d: Array, x: Array, y_scalar: Array) -> Array:
     varies per element. Blends the two bracketing rows once (O(cols)) and
     runs the hot per-element lookup through the 1D kernel.
 
-    Differentiable in (x, y_scalar) only: the table is a calibration
-    constant, so its cotangent is defined as zero. (Routing the generic
-    lut_interp VJP here would materialize a full table cotangent via an
-    XLA scatter-add of every element into ~1k bins per call — measured
-    ~1.5 s of the watercube energy-gradient pass. The y cotangent needs
-    only sum(g * interp(row_hi - row_lo, x)): one extra lane-gather.)"""
+    Differentiable in (x, y_scalar) only; the table is a calibration
+    constant, made mechanical by the stop_gradient at this boundary (a
+    table cotangent would need an XLA scatter-add of every element into
+    ~1k bins per call — measured ~1.5 s of the watercube energy-gradient
+    pass. The y cotangent needs only sum(g * interp(row_hi - row_lo, x)):
+    one extra lane-gather.)"""
+    return _lut2d_xy(jax.lax.stop_gradient(table2d), x, y_scalar)
+
+
+@jax.custom_vjp
+def _lut2d_xy(table2d: Array, x: Array, y_scalar: Array) -> Array:
     iy, fy, _ = _row_blend(table2d, y_scalar)
     row = table2d[iy] * (1.0 - fy) + table2d[iy + 1] * fy
     return _lut1d_value(row, x)
@@ -232,4 +236,4 @@ def _lut2d_bwd(res, g):
     return jnp.zeros_like(table2d), gx, gy
 
 
-lut2d_scalar_row_fast.defvjp(_lut2d_fwd, _lut2d_bwd)
+_lut2d_xy.defvjp(_lut2d_fwd, _lut2d_bwd)

@@ -1,27 +1,35 @@
-"""Pallas TPU kernel for the K5 Gaussian kernel superposition.
+"""Pallas TPU kernels for the K5 Gaussian kernel superposition.
 
 Reference: kernelSuperposition<rad> (kernel_wrapper.cuh:432-489) — each BEV
 ray scatters its step dose into a (2r+1)^2 neighbourhood with separable
-erf-difference weights, accumulated in shared memory per tile and flushed
-with atomicAdd.
+erf-difference weights; tileRadCalc (kernel_wrapper.cuh:256-313) classifies
+every 32x8 tile by the radius its widest ray needs and the host batches the
+tile lists per radius class (kernel_wrapper.cu:959-1056) so each tile runs a
+kernel compiled for exactly its radius.
 
-TPU-native design: the XLA formulation (superposition.superpose) expresses
-the same sum as (2r+1)^2 shifted whole-slab FMAs; XLA materialises partial
-accumulators in HBM, costing ~178 ms/layer. This kernel keeps the entire
-accumulation in VMEM and exploits the separability of the weights:
+TPU-native restructure of the same idea:
 
-  pass 1 (x):  t[ky][y, x'] = sum_dx  (d * w[ky] * w[|dx|])[y, x' - dx]
-  pass 2 (y):  out[y', x']  = sum_dy  t[|dy|][y' - dy, x']
+* **Semantic truncation** is per (depth slice, 8-row band): ``sem_radii``
+  reduces the reciprocal sigma over each band (the reference's tile-y
+  granularity) and ``class_round`` rounds the radius up to a small static
+  class set. The band radii — not any execution detail — define which
+  weight taps are kept, so the jnp mirror, the forward kernel, the backward
+  kernel and the sharded overlap-add all truncate identically.
+* **Execution** batches (slice, 32-row tile) tasks by radius class, like the
+  reference's bucket lists: the host-side XLA prologue sorts the tasks of
+  each depth chunk by class (``_exec_buckets``) and the kernel walks each
+  class's contiguous range with a ``fori_loop`` whose body is compiled for
+  that static radius — no per-offset predication, one branch per class per
+  chunk instead of one per (offset, offset) pair.
+* The separable scatter itself runs on **padded-width values with lane
+  rolls**: inputs are pre-padded to a 128-multiple width that gives every
+  roll >= radius of zero margin, so ``x``-shifts are wraparound-safe vector
+  rotates and the ``y``-shifted flushes are dynamic-sublane accumulates into
+  the VMEM-resident output slab. Weights are erf differences computed with
+  one erf evaluation per tap (consecutive taps share the boundary erf).
 
-which is exact (the per-source weight product factorises), and reduces the
-op count from ~3*(2r+1)^2 to ~2*(r+1)*(2r+1) per element. Shifts are static
-lane/sublane relayouts, all buffers VMEM scratch. One grid step per depth
-slice; weights w[k] = 0.5*(erf(rs*(k+0.5)) - erf(rs*(k-0.5))) are computed
-in-kernel from the reciprocal sigma (kernel_wrapper.cuh:459-467).
-
-Backward pass goes through a custom_vjp whose residual-free cotangent is
-computed by the plain-jnp reference implementation's vjp (correctness
-first; a dedicated backward kernel is a later optimisation).
+Weights w[k] = 0.5*(erf(rs*(k+0.5)) - erf(rs*(k-0.5)))
+(kernel_wrapper.cuh:459-467); w[0] = erf(rs/2).
 """
 from __future__ import annotations
 
@@ -35,136 +43,256 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
+SEM_TY = 8              # truncation band height (reference tile y, kernel_wrapper.cuh:28)
+_DEAD_RS = 1e8          # reciprocal sigmas above this mark dead rays
+_INV_SQRT_PI = 0.5641895835477563
 
-def _erf(x):
-    """erf via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7, the same accuracy
-    class as CUDA's erff) — Mosaic has no native erf lowering."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
+
+def _erf_pos(x):
+    """erf for x >= 0 via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7, the
+    same accuracy class as CUDA's erff) — Mosaic has no native erf lowering.
+    Returns (erf(x), exp(-x*x)); the exponential is reused by the weight
+    derivatives in the backward kernel."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
                + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-a * a))
+    ex = jnp.exp(-x * x)
+    return 1.0 - poly * ex, ex
 
 
-def _superp_kernel(rad_ref, d_ref, rs_ref, out_ref, wcache, tbuf, *,
-                   radius: int, pad: int, ny: int, nx: int, cz: int):
-    """One chunk of ``cz`` depth slices. ``rad_ref`` (scalar-prefetched,
-    (n_chunks,)) carries each chunk's required radius — the TPU analogue of
-    the reference's per-tile radius classification (tileRadCalc,
-    kernel_wrapper.cuh:256-313): offsets beyond the chunk radius are skipped
-    by predication, so cost scales with the actual lateral spread instead of
-    the worst case. Chunking amortizes the per-grid-step launch latency."""
-    r = radius
-    step = pl.program_id(0)
-    rad = rad_ref[step]
-    d = d_ref[:]                                     # (cz, Y, X)
-    rs = rs_ref[:]
-
-    out_ref[:] = jnp.zeros((cz, ny + 2 * pad, nx + 2 * pad), d.dtype)
-
-    @pl.when(rad >= 0)
-    def _():
-        # weights w[k] = 0.5*(erf(rs*(k+0.5)) - erf(rs*(k-0.5)))
-        # (kernel_wrapper.cuh:459-467); k=0 reduces to erf(rs/2)
-        wcache[0] = _erf(0.5 * rs)
-        for k in range(1, r + 1):
-            @pl.when(k <= rad)
-            def _(k=k):
-                wcache[k] = 0.5 * (_erf(rs * (k + 0.5)) - _erf(rs * (k - 0.5)))
-
-        # pass 1: x-scatter into t[ky] (cz, Y, X + 2*pad)
-        px = pad
-        for ky in range(r + 1):
-            @pl.when(ky <= rad)
-            def _(ky=ky):
-                base = d * wcache[ky]
-                tbuf[ky] = jnp.zeros((cz, ny, nx + 2 * pad), d.dtype)
-                for dx in range(-r, r + 1):
-                    @pl.when(abs(dx) <= rad)
-                    def _(dx=dx):
-                        tbuf[ky, :, :, px + dx: px + dx + nx] += base * wcache[abs(dx)]
-
-        # pass 2: y-scatter into the padded output
-        for dy in range(-r, r + 1):
-            @pl.when(abs(dy) <= rad)
-            def _(dy=dy):
-                out_ref[:, pad + dy: pad + dy + ny, :] += tbuf[abs(dy)]
+def radius_classes(max_radius: int):
+    """Static radius classes compiled into the kernel. Radii round UP to the
+    next class (never truncating below the requested radius), mirroring the
+    reference's batching of sparse radius classes into the next-larger
+    kernel (kernel_wrapper.cu:968-976)."""
+    base = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32)
+    return tuple(sorted({c for c in base if c < max_radius} | {max_radius}))
 
 
-def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
-    """Per-depth-slice superposition radius from the minimum reciprocal
-    sigma, the reference's tile formula rad = KS_CUTOFF/(sqrt(2)*minR)+0.5
-    (kernel_wrapper.cuh:303) applied per slice; -1 marks an all-dead slice
-    (every offset skipped)."""
-    min_rs = jnp.min(rs, axis=(1, 2))
+def sem_tile_rows(ny: int) -> int:
+    return SEM_TY if ny % SEM_TY == 0 else ny
+
+
+def exec_tile_rows(ny: int) -> int:
+    for t in (32, 16, 8):
+        if ny % t == 0:
+            return t
+    return ny
+
+
+def sem_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
+    """Per-(slice, 8-row band) superposition radius from the band's minimum
+    reciprocal sigma — the reference's tile formula
+    rad = KS_CUTOFF/(sqrt(2)*minR)+0.5 (kernel_wrapper.cuh:303) at its tile-y
+    granularity; -1 marks an all-dead band."""
+    S, Y, X = rs.shape
+    st = sem_tile_rows(Y)
+    min_rs = jnp.min(rs.reshape(S, Y // st, st, X), axis=(2, 3))
     rad = (ks_sigma_cutoff / (jnp.sqrt(jnp.asarray(2.0, rs.dtype)) * min_rs)
            + 0.5).astype(jnp.int32)
     rad = jnp.minimum(rad, max_radius)
-    dead = min_rs > 1e8
-    return jnp.where(dead, -1, rad)
+    return jnp.where(min_rs > _DEAD_RS, -1, rad)
 
 
-def _pick_chunk(radius: int, Y: int, X: int, pad: int,
-                vmem_budget: int = 8 * 2 ** 20) -> int:
-    """Depth slices per grid step. Measured on v5e: per-step launch latency
-    is negligible while a chunk's max-radius costs every slice in it the
-    radius of its widest neighbour (~5% on the watercube), so per-slice
-    processing wins. Kept as a tunable for geometries with tiny slices."""
-    del radius, Y, X, pad, vmem_budget
-    return 1
+def class_round(rads: Array, classes) -> Array:
+    """Round radii UP to the next value in ``classes`` (-1 passes through)."""
+    cs = jnp.asarray(classes, jnp.int32)
+    idx = jnp.minimum(jnp.searchsorted(cs, rads), len(classes) - 1)
+    return jnp.where(rads < 0, -1, cs[idx]).astype(jnp.int32)
 
 
-def superpose_pallas_raw(idd: Array, rs: Array, rad_steps: Array,
+def effective_sem_radii(rs: Array, ks_sigma_cutoff: float,
+                        max_radius: int) -> Array:
+    """The (slice, band) truncation radii the op actually applies."""
+    return class_round(sem_radii(rs, ks_sigma_cutoff, max_radius),
+                       radius_classes(max_radius))
+
+
+def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
+    """Per-depth-slice radius (the max over the slice's bands; -1 = dead)."""
+    return jnp.max(sem_radii(rs, ks_sigma_cutoff, max_radius), axis=1)
+
+
+def _widths(nx: int, pad: int, radius: int):
+    """Internal lane width: every roll by <= radius must stay inside zero
+    margin on both sides of the out-padded window."""
+    wi = -(-(nx + 2 * pad + 2 * radius) // 128) * 128
+    px = (wi - nx) // 2
+    return wi, px
+
+
+def _pick_chunk(n_bufs: int, ny: int, wi: int, pad: int,
+                vmem_budget: int = 4 * 2 ** 20) -> int:
+    """Depth slices per grid step: amortizes the per-step fixed cost
+    (measured ~4.7 us/step on v5e) under a VMEM cap for the double-buffered
+    blocks (n_bufs (cz,ny,wi) slabs + the (cz,ny+2pad,wi) padded ones);
+    the kernel's own value stack (weight slabs, tile accumulators) needs
+    the remaining headroom."""
+    per_cz = (n_bufs * ny * wi + (ny + 2 * pad) * wi) * 4 * 2
+    return max(1, min(2, vmem_budget // per_cz))
+
+
+def _exec_buckets(eff_sem: Array, classes, cz: int, n_exec: int, gpe: int):
+    """Sort each chunk's (slice, exec-tile) tasks by radius class.
+
+    Returns (order (n_chunks, cz*n_exec) task ids sorted dead-first then by
+    class, off (n_chunks, n_classes+1) class start offsets)."""
+    S8, n8 = eff_sem.shape
+    exec_rad = jnp.max(eff_sem.reshape(S8, n_exec, gpe), axis=2)
+    cs = jnp.asarray(classes, jnp.int32)
+    cls = jnp.searchsorted(cs, exec_rad).astype(jnp.int32)
+    cls = jnp.where(exec_rad < 0, -1, cls)
+    n_chunks = S8 // cz
+    clsr = cls.reshape(n_chunks, cz * n_exec)
+    order = jnp.argsort(clsr, axis=1, stable=True).astype(jnp.int32)
+    sorted_cls = jnp.take_along_axis(clsr, order, axis=1)
+    targets = jnp.arange(len(classes) + 1, dtype=jnp.int32)
+    off = jax.vmap(lambda row: jnp.searchsorted(row, targets))(sorted_cls)
+    return order, off.astype(jnp.int32)
+
+
+def _pad_operands(idd, rs, rad_sem, cz, px, wi):
+    """Pad depth to a chunk multiple and lanes to the internal width."""
+    S, Y, X = idd.shape
+    n_chunks = -(-S // cz)
+    s_pad = n_chunks * cz
+    idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (px, wi - px - X)))
+    rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (px, wi - px - X)),
+                 constant_values=10.0 * _DEAD_RS)
+    rad_sem = jnp.pad(rad_sem, ((0, s_pad - S), (0, 0)), constant_values=-1)
+    return idd, rs, rad_sem, n_chunks, s_pad
+
+
+def _masked_weights(rs, rge, q, with_derivs=False):
+    """Erf-difference weight taps 0..q masked per 8-row band (one erf per
+    tap boundary; taps beyond a band's radius are zero so truncation is
+    identical to the jnp mirror)."""
+    w, dw = [], []
+    e_prev = ex_prev = None
+    for k in range(q + 1):
+        if k == 0:
+            e_prev, ex_prev = _erf_pos(0.5 * rs)
+            wk = e_prev
+            dk = _INV_SQRT_PI * ex_prev if with_derivs else None
+        else:
+            e_k, ex_k = _erf_pos(rs * (k + 0.5))
+            wk = 0.5 * (e_k - e_prev)
+            if with_derivs:
+                dk = _INV_SQRT_PI * ((k + 0.5) * ex_k - (k - 0.5) * ex_prev)
+            e_prev, ex_prev = e_k, ex_k
+        keep = rge >= k
+        w.append(jnp.where(keep, wk, 0.0))
+        if with_derivs:
+            dw.append(jnp.where(keep, dk, 0.0))
+    return (w, dw) if with_derivs else w
+
+
+def _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe):
+    """(ty, 1) per-row truncation radius built from the tile's band scalars."""
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) // st
+    rge = jnp.zeros((ty, 1), jnp.int32)
+    for gi in range(gpe):
+        e_gi = eff_ref[step, s_loc * n8 + t_idx * gpe + gi]
+        rge = jnp.where(rows8 == gi, e_gi, rge)
+    return rge
+
+
+def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
+                classes, pad, ny, wi, cz, ty, n_exec, n8, st, gpe):
+    out_ref[:] = jnp.zeros((cz, ny + 2 * pad, wi), d_ref.dtype)
+    step = pl.program_id(0)
+
+    for ci, q in enumerate(classes):
+        # Mosaic needs provably 8-aligned dynamic sublane windows, so the
+        # tile accumulates its whole (ty + 2*qa)-row footprint in a value at
+        # STATIC offsets and flushes with ONE dynamic RMW whose start
+        # pad + y0 - qa is a multiple of 8 (y0 and ty are; qa >= q absorbs
+        # pad's misalignment).
+        qa = q + (pad - q) % 8
+
+        def tile_body(k, carry, q=q, qa=qa):
+            task = order_ref[step, k]
+            s_loc = task // n_exec
+            t_idx = task - s_loc * n_exec
+            y0 = pl.multiple_of(t_idx * ty, 8)
+            d = d_ref[s_loc, pl.ds(y0, ty), :]
+            rs = rs_ref[s_loc, pl.ds(y0, ty), :]
+            rge = _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe)
+            w = _masked_weights(rs, rge, q)
+            tile_out = jnp.zeros((ty + 2 * qa, wi), d.dtype)
+            for ky in range(q + 1):
+                base = d * w[ky]
+                acc = base * w[0]
+                for dx in range(1, q + 1):
+                    m = base * w[dx]
+                    # pltpu.roll wants non-negative shifts; wi - dx == -dx
+                    # modulo the lane width (zero margins make wrap safe)
+                    acc = acc + pltpu.roll(m, dx, 1) + pltpu.roll(m, wi - dx, 1)
+                # jnp.pad instead of .at[].add: a full-axis scatter-add
+                # captures an empty index constant pallas_call rejects
+                tile_out = tile_out + jnp.pad(acc, ((qa + ky, qa - ky), (0, 0)))
+                if ky > 0:
+                    tile_out = tile_out + jnp.pad(acc, ((qa - ky, qa + ky),
+                                                        (0, 0)))
+            row0 = pl.multiple_of(pad + y0 - qa, 8)
+            out_ref[s_loc, pl.ds(row0, ty + 2 * qa), :] += tile_out
+            return carry
+
+        jax.lax.fori_loop(off_ref[step, ci], off_ref[step, ci + 1],
+                          tile_body, 0)
+
+
+def superpose_pallas_raw(idd: Array, rs: Array, rad_sem: Array,
                          radius: int, pad: int) -> Array:
-    """(S, Y, X) -> (S, Y+2*pad, X+2*pad); per-chunk adaptive radius with
-    static upper bound ``radius``."""
+    """(S, Y, X) -> (S, Y+2*pad, X+2*pad). ``rad_sem`` (S, Y//8) carries the
+    class-rounded per-band truncation radii (see ``effective_sem_radii``)."""
     if pad < radius:
         raise ValueError("pad must cover radius")
     S, Y, X = idd.shape
-    cz = _pick_chunk(radius, Y, X, pad)
-    n_chunks = -(-S // cz)
-    s_pad = n_chunks * cz
-    if s_pad != S:
-        idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (0, 0)))
-        rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (0, 0)), constant_values=1e10)
-        rad_steps = jnp.pad(rad_steps, (0, s_pad - S), constant_values=-1)
-    chunk_rads = jnp.max(rad_steps.reshape(n_chunks, cz), axis=1)
+    classes = radius_classes(radius)
+    wi, px = _widths(X, pad, radius)
+    ty = exec_tile_rows(Y)
+    st = sem_tile_rows(Y)
+    n8, n_exec, gpe = Y // st, Y // ty, ty // st
+    cz = _pick_chunk(2, Y, wi, pad)
+    idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
+        idd, rs, rad_sem, cz, px, wi)
+    order, off = _exec_buckets(rad_p.reshape(s_pad, n8), classes, cz,
+                               n_exec, gpe)
+    eff_p = rad_p.reshape(n_chunks, cz * n8)
 
-    kern = functools.partial(_superp_kernel, radius=radius, pad=pad,
-                             ny=Y, nx=X, cz=cz)
+    kern = functools.partial(_fwd_kernel, classes=classes, pad=pad, ny=Y,
+                             wi=wi, cz=cz, ty=ty, n_exec=n_exec, n8=n8,
+                             st=st, gpe=gpe)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((cz, Y + 2 * pad, X + 2 * pad),
-                               lambda i, rad_ref: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
-            pltpu.VMEM((radius + 1, cz, Y, X + 2 * pad), idd.dtype),
-        ],
+        out_specs=pl.BlockSpec((cz, Y + 2 * pad, wi), lambda i, *_: (i, 0, 0)),
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((s_pad, Y + 2 * pad, X + 2 * pad), idd.dtype),
+        out_shape=jax.ShapeDtypeStruct((s_pad, Y + 2 * pad, wi), idd.dtype),
         grid_spec=grid_spec,
-    )(chunk_rads, idd, rs)
-    return out[:S]
+    )(order, off, eff_p, idd_p, rs_p)
+    return out[:S, :, px - pad: px + pad + X]
 
 
-def superpose_masked_jnp(idd: Array, rs: Array, rad_steps: Array,
-                         radius: int, pad: int, chunk_z: int = 8) -> Array:
-    """jnp mirror of the adaptive kernel: full-radius offset loop with
-    weights zeroed beyond each slice's radius — used as the differentiation
-    rule and as the CPU fallback (bitwise-equivalent truncation)."""
+def superpose_masked_jnp(idd: Array, rs: Array, rad_sem: Array,
+                         radius: int, pad: int) -> Array:
+    """jnp mirror of the kernel: full-radius offset loop with weights zeroed
+    beyond each (slice, band) radius — the differentiation rule and the CPU
+    fallback (identical truncation)."""
     from .superposition import erf_diff_weights
     S, Y, X = idd.shape
+    st = sem_tile_rows(Y)
     w = erf_diff_weights(rs, radius)                 # (r+1, S, Y, X)
+    rad_rows = jnp.repeat(rad_sem, st, axis=1)       # (S, Y)
     ks = jnp.arange(radius + 1)[:, None, None, None]
-    w = jnp.where(ks <= rad_steps[None, :, None, None], w, 0.0)
+    w = jnp.where(ks <= rad_rows[None, :, :, None], w, 0.0)
     out = jnp.zeros((S, Y + 2 * pad, X + 2 * pad), idd.dtype)
     for dy in range(-radius, radius + 1):
         contrib_y = idd * w[abs(dy)]
@@ -175,116 +303,92 @@ def superpose_masked_jnp(idd: Array, rs: Array, rad_steps: Array,
     return out
 
 
-def _superp_bwd_kernel(rad_ref, d_ref, rs_ref, g_ref, gd_ref, grs_ref,
-                       wcache, dwcache, rj_buf, rpj_buf, *, radius: int,
-                       pad: int, ny: int, nx: int, cz: int):
-    """Backward of the superposition w.r.t. (idd, rs).
+def _bwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, g_ref,
+                gd_ref, grs_ref, *, classes, pad, ny, nx, wi, px, cz, ty,
+                n_exec, n8, st, gpe):
+    """Adjoint w.r.t. (idd, rs). Weights live at the SOURCE index, so per
+    source tile:
 
-    In the adjoint the weights live at the DESTINATION index, so the sum
-    factorizes without any per-source coupling:
+      g_d  = sum_{j,k} w[j] w[k] Q_jk,   Q_jk = sum of G windows at (+-j,+-k)
+      g_rs = d * sum_{j,k} (dw[j] w[k] + w[j] dw[k]) Q_jk
 
-      g_d[y,x]  = sum_{j,k} w[j] * w[k] * Q_{jk}[y,x]
-      g_rs[y,x] = d[y,x] * sum_{j,k} (dw[j] w[k] + w[j] dw[k]) * Q_{jk}
-      Q_{jk}    = sum of the <= 4 G-window reads at offsets (+-j, +-k)
-
-    where dw_k = d w_k / d rs = (1/sqrt(pi)) * ((k+1/2) e_k - (k-1/2) e_{k-1})
-    with e_k = exp(-(rs (k+1/2))^2). Per j: accumulate R_j = sum_k w[k] Q_jk
-    and R'_j = sum_k dw[k] Q_jk, then g_d += w[j] R_j and
-    g_rs_acc += dw[j] R_j + w[j] R'_j."""
-    r = radius
+    computed as R_j = sum_k w[k] Q_jk and R'_j = sum_k dw[k] Q_jk."""
+    gd_ref[:] = jnp.zeros((cz, ny, nx), d_ref.dtype)
+    grs_ref[:] = jnp.zeros((cz, ny, nx), d_ref.dtype)
     step = pl.program_id(0)
-    rad = rad_ref[step]
-    d = d_ref[:]
-    rs = rs_ref[:]
-    INV_SQRT_PI = 0.5641895835477563
 
-    gd_ref[:] = jnp.zeros((cz, ny, nx), d.dtype)
-    grs_ref[:] = jnp.zeros((cz, ny, nx), d.dtype)
+    for ci, q in enumerate(classes):
+        qa = q + (pad - q) % 8
 
-    @pl.when(rad >= 0)
-    def _():
-        # weights + weight derivatives, k = 0..rad
-        e_prev = jnp.exp(-(0.5 * rs) * (0.5 * rs))          # e_{-1} at |.|
-        wcache[0] = _erf(0.5 * rs)
-        dwcache[0] = INV_SQRT_PI * (0.5 * e_prev - (-0.5) * e_prev)
-        for k in range(1, r + 1):
-            @pl.when(k <= rad)
-            def _(k=k):
-                a_hi = rs * (k + 0.5)
-                a_lo = rs * (k - 0.5)
-                e_hi = jnp.exp(-a_hi * a_hi)
-                e_lo = jnp.exp(-a_lo * a_lo)
-                wcache[k] = 0.5 * (_erf(a_hi) - _erf(a_lo))
-                dwcache[k] = INV_SQRT_PI * ((k + 0.5) * e_hi - (k - 0.5) * e_lo)
+        def tile_body(k, carry, q=q, qa=qa):
+            task = order_ref[step, k]
+            s_loc = task // n_exec
+            t_idx = task - s_loc * n_exec
+            y0 = pl.multiple_of(t_idx * ty, 8)
+            d = d_ref[s_loc, pl.ds(y0, ty), :]
+            rs = rs_ref[s_loc, pl.ds(y0, ty), :]
+            rge = _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe)
+            w, dw = _masked_weights(rs, rge, q, with_derivs=True)
+            # one aligned dynamic read of the tile's G footprint; per-j
+            # windows are then static slices of the value
+            row0 = pl.multiple_of(pad + y0 - qa, 8)
+            gwin = g_ref[s_loc, pl.ds(row0, ty + 2 * qa), :]
+            gd_acc = jnp.zeros((ty, wi), d.dtype)
+            grs_acc = jnp.zeros((ty, wi), d.dtype)
+            for j in range(q + 1):
+                gj = gwin[qa + j: qa + j + ty]
+                if j > 0:
+                    gj = gj + gwin[qa - j: qa - j + ty]
+                rj = w[0] * gj
+                rpj = dw[0] * gj
+                for kk in range(1, q + 1):
+                    qk = pltpu.roll(gj, kk, 1) + pltpu.roll(gj, wi - kk, 1)
+                    rj = rj + w[kk] * qk
+                    rpj = rpj + dw[kk] * qk
+                gd_acc = gd_acc + w[j] * rj
+                grs_acc = grs_acc + dw[j] * rj + w[j] * rpj
+            grs_acc = grs_acc * d
+            gd_ref[s_loc, pl.ds(y0, ty), :] = gd_acc[:, px: px + nx]
+            grs_ref[s_loc, pl.ds(y0, ty), :] = grs_acc[:, px: px + nx]
+            return carry
 
-        def window(j, k):
-            # sum of the G windows at y-offset +-j and x-offset +-k
-            def win(dy, dx):
-                return g_ref[:, pad + dy: pad + dy + ny, pad + dx: pad + dx + nx]
-            q = win(j, k)
-            if k > 0:
-                q = q + win(j, -k)
-            if j > 0:
-                q = q + win(-j, k)
-                if k > 0:
-                    q = q + win(-j, -k)
-            return q
-
-        for j in range(r + 1):
-            @pl.when(j <= rad)
-            def _(j=j):
-                rj_buf[:] = jnp.zeros((cz, ny, nx), d.dtype)
-                rpj_buf[:] = jnp.zeros((cz, ny, nx), d.dtype)
-                for k in range(r + 1):
-                    @pl.when(k <= rad)
-                    def _(k=k, j=j):
-                        q = window(j, k)
-                        rj_buf[:] += wcache[k] * q
-                        rpj_buf[:] += dwcache[k] * q
-                gd_ref[:] += wcache[j] * rj_buf[:]
-                grs_ref[:] += dwcache[j] * rj_buf[:] + wcache[j] * rpj_buf[:]
-
-        grs_ref[:] = grs_ref[:] * d
+        jax.lax.fori_loop(off_ref[step, ci], off_ref[step, ci + 1],
+                          tile_body, 0)
 
 
-def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_steps: Array,
+def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_sem: Array,
                          radius: int, pad: int):
-    """Pallas adjoint: returns (g_idd, g_rs) given the padded output
-    cotangent ``g`` (S, Y+2*pad, X+2*pad)."""
+    """Pallas adjoint: (g_idd, g_rs) from the padded cotangent ``g``
+    (S, Y+2*pad, X+2*pad), truncated by the same ``rad_sem`` as the forward."""
     S, Y, X = idd.shape
-    # same chunking as the forward pass so per-chunk radii (and therefore
-    # the weight truncation the adjoint differentiates) match exactly
-    cz = _pick_chunk(radius, Y, X, pad)
-    n_chunks = -(-S // cz)
-    s_pad = n_chunks * cz
-    if s_pad != S:
-        idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (0, 0)))
-        rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (0, 0)), constant_values=1e10)
-        g = jnp.pad(g, ((0, s_pad - S), (0, 0), (0, 0)))
-        rad_steps = jnp.pad(rad_steps, (0, s_pad - S), constant_values=-1)
-    chunk_rads = jnp.max(rad_steps.reshape(n_chunks, cz), axis=1)
+    classes = radius_classes(radius)
+    wi, px = _widths(X, pad, radius)
+    ty = exec_tile_rows(Y)
+    st = sem_tile_rows(Y)
+    n8, n_exec, gpe = Y // st, Y // ty, ty // st
+    cz = _pick_chunk(4, Y, wi, pad)
+    idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
+        idd, rs, rad_sem, cz, px, wi)
+    g_p = jnp.pad(g, ((0, s_pad - S), (0, 0), (px - pad, wi - px - pad - X)))
+    order, off = _exec_buckets(rad_p.reshape(s_pad, n8), classes, cz,
+                               n_exec, gpe)
+    eff_p = rad_p.reshape(n_chunks, cz * n8)
 
-    kern = functools.partial(_superp_bwd_kernel, radius=radius, pad=pad,
-                             ny=Y, nx=X, cz=cz)
+    kern = functools.partial(_bwd_kernel, classes=classes, pad=pad, ny=Y,
+                             nx=X, wi=wi, px=px, cz=cz, ty=ty, n_exec=n_exec,
+                             n8=n8, st=st, gpe=gpe)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
-            pl.BlockSpec((cz, Y + 2 * pad, X + 2 * pad),
-                         lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y + 2 * pad, wi), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
-            pl.BlockSpec((cz, Y, X), lambda i, rad_ref: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, X), lambda i, *_: (i, 0, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
-            pltpu.VMEM((radius + 1, cz, Y, X), idd.dtype),
-            pltpu.VMEM((cz, Y, X), idd.dtype),
-            pltpu.VMEM((cz, Y, X), idd.dtype),
-        ],
     )
     gd, grs = pl.pallas_call(
         kern,
@@ -293,33 +397,26 @@ def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_steps: Array,
             jax.ShapeDtypeStruct((s_pad, Y, X), idd.dtype),
         ),
         grid_spec=grid_spec,
-    )(chunk_rads, idd, rs, g)
+    )(order, off, eff_p, idd_p, rs_p, g_p)
     return gd[:S], grs[:S]
 
 
-def _effective_radii(rad_steps: Array, S: int, radius: int, pad: int,
-                     Y: int, X: int) -> Array:
-    """The truncation the chunked kernel actually applies: each slice uses
-    its chunk's max radius (>= its own), so the backward mirror must mask
-    with the same effective radii."""
-    cz = _pick_chunk(radius, Y, X, pad)
-    n_chunks = -(-S // cz)
-    padded = jnp.pad(rad_steps, (0, n_chunks * cz - S), constant_values=-1)
-    chunk_rads = jnp.max(padded.reshape(n_chunks, cz), axis=1)
-    return jnp.repeat(chunk_rads, cz)[:S]
-
+# ---------------------------------------------------------------------------
+# Differentiable wrappers. ``rad_sem`` is part of the op's semantics (the
+# truncation), so it is saved as a residual verbatim — truncation no longer
+# depends on any execution detail (chunking, tiling), and forward/backward
+# masks match by construction.
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def superpose_pallas(idd: Array, rs: Array, rad_steps: Array,
+def superpose_pallas(idd: Array, rs: Array, rad_sem: Array,
                      radius: int, pad: int) -> Array:
-    return superpose_pallas_raw(idd, rs, rad_steps, radius, pad)
+    return superpose_pallas_raw(idd, rs, rad_sem, radius, pad)
 
 
-def _sup_fwd(idd, rs, rad_steps, radius, pad):
-    out = superpose_pallas_raw(idd, rs, rad_steps, radius, pad)
-    S, Y, X = idd.shape
-    eff = _effective_radii(rad_steps, S, radius, pad, Y, X)
-    return out, (idd, rs, eff)
+def _sup_fwd(idd, rs, rad_sem, radius, pad):
+    out = superpose_pallas_raw(idd, rs, rad_sem, radius, pad)
+    return out, (idd, rs, rad_sem)
 
 
 def _sup_bwd(radius, pad, res, g):
@@ -330,19 +427,21 @@ def _sup_bwd(radius, pad, res, g):
     from .pallas_lut import on_tpu
     from .superposition import slice_uniform_rs, superpose_bwd_uniform_mxu
 
-    idd, rs, eff = res
+    idd, rs, rad_sem = res
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
+    rad_steps = jnp.max(rad_sem, axis=1)
 
     def mxu(args):
         a, b, gg = args
-        return superpose_bwd_uniform_mxu(a, b, rs_slice, gg, eff, radius, pad)
+        return superpose_bwd_uniform_mxu(a, b, rs_slice, gg, rad_steps,
+                                         radius, pad)
 
     def general(args):
         a, b, gg = args
         if on_tpu():
-            return superpose_bwd_pallas(a, b, gg, eff, radius, pad)
+            return superpose_bwd_pallas(a, b, gg, rad_sem, radius, pad)
         _, vjp = jax.vjp(
-            lambda u, v: superpose_masked_jnp(u, v, eff, radius, pad), a, b
+            lambda u, v: superpose_masked_jnp(u, v, rad_sem, radius, pad), a, b
         )
         return vjp(gg)
 
@@ -356,39 +455,37 @@ superpose_pallas.defvjp(_sup_fwd, _sup_bwd)
 # ---------------------------------------------------------------------------
 # Adaptive dispatch: MXU banded matmuls when every slice's live rays share
 # one sigma (homogeneous media — the watercube benchmark), per-source
-# VPU kernel otherwise. The lax.cond predicate is a runtime value, so one
-# compiled program serves both; only the taken branch executes on TPU.
-# The backward is ALWAYS the per-source adjoint: on the uniform manifold the
-# two forwards produce identical values, so the per-source VJP is the
-# correct derivative regardless of which branch computed the primal.
+# bucketed kernel otherwise. The lax.cond predicate is a runtime value, so
+# one compiled program serves both; only the taken branch executes on TPU.
+# On the uniform manifold per-band radii equal the slice radius for every
+# live band (dead bands carry zero dose), so the two branches agree exactly.
 # ---------------------------------------------------------------------------
 
-def _superpose_general(idd, rs, rad_steps, radius, pad):
+def _superpose_general(idd, rs, rad_sem, radius, pad):
     from .pallas_lut import on_tpu
     if on_tpu():
-        return superpose_pallas_raw(idd, rs, rad_steps, radius, pad)
-    return superpose_masked_jnp(idd, rs, rad_steps, radius, pad)
+        return superpose_pallas_raw(idd, rs, rad_sem, radius, pad)
+    return superpose_masked_jnp(idd, rs, rad_sem, radius, pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def superpose_adaptive(idd: Array, rs: Array, rad_steps: Array,
+def superpose_adaptive(idd: Array, rs: Array, rad_sem: Array,
                        radius: int, pad: int) -> Array:
     """(S, Y, X) -> padded slab; picks the MXU or per-source path per call."""
     from .superposition import slice_uniform_rs, superpose_uniform_mxu
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
+    rad_steps = jnp.max(rad_sem, axis=1)
     return jax.lax.cond(
         all_uniform,
         lambda a: superpose_uniform_mxu(a[0], rs_slice, rad_steps, radius, pad),
-        lambda a: _superpose_general(a[0], a[1], rad_steps, radius, pad),
+        lambda a: _superpose_general(a[0], a[1], rad_sem, radius, pad),
         (idd, rs),
     )
 
 
-def _sup_adaptive_fwd(idd, rs, rad_steps, radius, pad):
-    out = superpose_adaptive(idd, rs, rad_steps, radius, pad)
-    S, Y, X = idd.shape
-    eff = _effective_radii(rad_steps, S, radius, pad, Y, X)
-    return out, (idd, rs, eff)
+def _sup_adaptive_fwd(idd, rs, rad_sem, radius, pad):
+    out = superpose_adaptive(idd, rs, rad_sem, radius, pad)
+    return out, (idd, rs, rad_sem)
 
 
 superpose_adaptive.defvjp(_sup_adaptive_fwd, _sup_bwd)

@@ -137,9 +137,12 @@ def slice_uniform_rs(idd: Array, rs: Array) -> tuple:
     (dead rays write idd=0, kernel_wrapper.cu:352-360), so weights of dead
     rays never matter. Returns ``(rs_slice (S,), all_uniform ())`` where
     ``all_uniform`` is True iff in every slice all live rays carry exactly
-    the same r_sigma_eff.
+    the same r_sigma_eff. Rays with zero dose but a finite sigma (possible
+    when the cumulative IDD is locally flat) are included in the predicate:
+    their forward weights are irrelevant, but the MXU adjoint derives their
+    d(out)/d(idd) from the slice sigma, which is only exact if they share it.
     """
-    live = idd > 0
+    live = (idd > 0) | (rs <= 1e8)
     big = jnp.asarray(3.4e38, rs.dtype)
     lo = jnp.min(jnp.where(live, rs, big), axis=(1, 2))     # (S,)
     hi = jnp.max(jnp.where(live, rs, -big), axis=(1, 2))
@@ -230,7 +233,9 @@ def superpose_bwd_uniform_mxu(idd: Array, rs_full: Array, rs_slice: Array,
 # kernelSuperposition<rad> semantics with a uniform radius.
 # ---------------------------------------------------------------------------
 
-def superpose_golden_numpy(idd, r_sigma_eff, radius, pad):
+def superpose_golden_numpy(idd, r_sigma_eff, radius, pad, rad_rows=None):
+    """``rad_rows`` (S, Y), optional: per-source-row truncation radius (the
+    per-8-row-band semantics of the TPU op); rows with radius < 0 are dead."""
     from scipy.special import erf
 
     S, Y, X = idd.shape
@@ -238,14 +243,17 @@ def superpose_golden_numpy(idd, r_sigma_eff, radius, pad):
     ks = np.arange(radius + 1)
     for s in range(S):
         for y in range(Y):
+            r_y = radius if rad_rows is None else int(rad_rows[s, y])
+            if r_y < 0:
+                continue
             for x in range(X):
                 dose = idd[s, y, x]
                 if dose <= 0.0:
                     continue
                 rs = r_sigma_eff[s, y, x]
                 w = 0.5 * (erf(rs * (ks + 0.5)) - erf(rs * (ks - 0.5)))
-                for dy in range(-radius, radius + 1):
-                    for dx in range(-radius, radius + 1):
+                for dy in range(-r_y, r_y + 1):
+                    for dx in range(-r_y, r_y + 1):
                         out[s, pad + y + dy, pad + x + dx] += (
                             dose * w[abs(dy)] * w[abs(dx)]
                         )

@@ -141,6 +141,61 @@ def watercube_ct() -> Tuple[np.ndarray, AffineTransform]:
     return vol, im_idx_to_world
 
 
+def patient_ct(seed: int = 0) -> Tuple[np.ndarray, AffineTransform]:
+    """Patient-like heterogeneous phantom at the watercube benchmark scale.
+
+    The reference's sub-second headline claim is for patient CT (README.md:2;
+    kernelSuperposition handles arbitrary heterogeneity at full speed,
+    kernel_wrapper.cuh:432-489), so the TPU benchmark needs a workload where
+    no depth slice has laterally-uniform sigma. 256^3, 1 mm voxels, same
+    imIdxToWorld as the watercube (main.cu:40-43) so the watercube plan
+    geometry applies unchanged; contents (HU+1000, Schneider-adjusted):
+
+      * air above the body (beam entry through skin like a real field)
+      * soft-tissue body ellipse with smooth +-3% lateral density texture
+      * an off-axis lung volume (~0.3 g/cc) in the beam path
+      * a bone shell ("rib") and a bone cylinder ("spine") partially
+        covering the field
+
+    Every BEV slice therefore mixes lung/soft/bone sigma histories, which
+    forces the engine's general (per-source) superposition branch.
+    Deterministic for a given ``seed``.
+    """
+    Z, Y, X = WATERCUBE_DIM
+    rng = np.random.default_rng(seed)
+    z = np.arange(Z, dtype=np.float32)[:, None, None]
+    y = np.arange(Y, dtype=np.float32)[None, :, None]
+    x = np.arange(X, dtype=np.float32)[None, None, :]
+
+    # smooth lateral/axial texture: sum of random-phase cosines (band-limited)
+    tex = np.zeros((Z, Y, X), np.float32)
+    for _ in range(6):
+        k = rng.uniform(0.02, 0.12, size=3).astype(np.float32)
+        ph = rng.uniform(0, 2 * np.pi, size=3).astype(np.float32)
+        tex += (np.cos(k[0] * z + ph[0]) * np.cos(k[1] * y + ph[1])
+                * np.cos(k[2] * x + ph[2])).astype(np.float32)
+    tex /= 6.0
+
+    body = (((y - 128.0) / 112.0) ** 2 + ((x - 128.0) / 112.0) ** 2 <= 1.0) \
+        & (z >= 40.0) & (z <= 220.0)
+    lung = ((((y - 110.0) / 36.0) ** 2 + ((x - 110.0) / 36.0) ** 2) <= 1.0) \
+        & (z >= 150.0) & (z <= 195.0)
+    rib = (np.abs(z - 200.0) <= 4.0) & (x < 128.0) \
+        & ((((y - 128.0) / 104.0) ** 2 + ((x - 128.0) / 104.0) ** 2) <= 1.0)
+    spine = ((((y - 150.0) / 12.0) ** 2 + ((x - 150.0) / 12.0) ** 2) <= 1.0) \
+        & (z >= 60.0) & (z <= 200.0)
+
+    vol = np.zeros((Z, Y, X), np.float32)
+    vol[body] = 1020.0
+    vol[lung] = 300.0
+    vol[rib] = 1700.0
+    vol[spine] = 1400.0
+    vol *= (1.0 + 0.03 * tex)
+    im_idx_to_world = np_affine(np.eye(3, dtype=np.float32),
+                                [-128.0, -128.0, -256.0 + 150.0])
+    return vol, im_idx_to_world
+
+
 def watercube_beam(tables, tracer_steps: int = 512,
                    weights: Optional[np.ndarray] = None) -> Beam:
     """The watercube plan: 33x33 spots x 20 layers, energies 118.12..172.51

@@ -107,13 +107,27 @@ def _step_geometry_np(fan_delta, fan_offset, source_dist, steps):
     return half_vw_sum, step_vol, abs(dz), dz, cz
 
 
-def _slice_radius(rs_slice, ks_cutoff, max_radius):
-    """tileRadCalc's radius formula (kernel_wrapper.cuh:303) applied per depth
-    slice; -1 for an all-dead slice."""
-    min_rs = float(np.min(rs_slice))
-    if min_rs > 1e8:
-        return -1
-    return min(int(ks_cutoff / (np.sqrt(2.0) * min_rs) + 0.5), max_radius)
+def _band_radius_rows(rs_slice, ks_cutoff, max_radius):
+    """The engine's truncation semantics, transcribed: tileRadCalc's radius
+    formula (kernel_wrapper.cuh:303) per 8-row band, rounded UP to the
+    kernel's static class set (batching sparse classes into the next-larger
+    kernel, kernel_wrapper.cu:968-976). Returns (Y,) per-source-row radii,
+    -1 for rows of an all-dead band."""
+    classes = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32]
+    classes = sorted({c for c in classes if c < max_radius} | {max_radius})
+    Y = rs_slice.shape[0]
+    st = 8 if Y % 8 == 0 else Y
+    out = np.empty(Y, np.int64)
+    for b in range(Y // st):
+        min_rs = float(np.min(rs_slice[b * st:(b + 1) * st]))
+        if min_rs > 1e8:
+            rad = -1
+        else:
+            rad = min(int(ks_cutoff / (np.sqrt(2.0) * min_rs) + 0.5),
+                      max_radius)
+            rad = next(c for c in classes if c >= rad)
+        out[b * st:(b + 1) * st] = rad
+    return out
 
 
 def _transfer_golden(dose, bev, beam, grid, pad, bbox_min, bbox_max):
@@ -275,11 +289,15 @@ def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
         if verbose:
             print(f"golden layer {l}: idd max {idd.max():.4g}")
         for s in range(S):
-            rad = _slice_radius(rsig[s], cfg.ks_sigma_cutoff, max_radius)
-            if rad < 0 or not np.any(idd[s] > 0):
+            if not np.any(idd[s] > 0):
+                continue
+            rad_rows = _band_radius_rows(rsig[s], cfg.ks_sigma_cutoff,
+                                         max_radius)
+            if rad_rows.max() < 0:
                 continue
             bev[s] += sup.superpose_golden_numpy(
-                idd[s:s + 1], rsig[s:s + 1], rad, pad)[0]
+                idd[s:s + 1], rsig[s:s + 1], max_radius, pad,
+                rad_rows=rad_rows[None])[0]
 
     # K6 transfer
     from raytracedicom_tpu.ops import transfer as xfer

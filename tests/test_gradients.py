@@ -187,3 +187,40 @@ def test_grad_spot_sigmas(setup):
     g = jax.jit(jax.grad(loss))(inputs.spot_sigmas)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_lut2d_scalar_row_vjp_matches_generic():
+    """The hand-derived VJP of lut2d_scalar_row_fast (ops/pallas_lut.py) vs
+    jax.vjp of the generic lut2d path on random tables: the (x, y) cotangents
+    must agree to float tolerance (the table is stop_gradient'd by contract,
+    so its cotangent is compared against zero)."""
+    from raytracedicom_tpu.ops.pallas_lut import lut2d_scalar_row_fast
+    from raytracedicom_tpu.physics.interp import lut2d
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.uniform(-1, 3, (11, 97)).astype(np.float32))
+    # y stays off the exact clamp kink at rows-1, where jax.clip splits the
+    # subgradient 50/50 while the fast path takes the interior branch
+    for seed, y0 in [(1, 4.3), (2, 0.1), (3, 9.5), (4, -0.5), (5, 11.7)]:
+        r = np.random.RandomState(seed)
+        x = jnp.asarray(r.uniform(-5, 105, (6, 17)).astype(np.float32))
+        y = jnp.float32(y0)
+        g = jnp.asarray(r.uniform(-1, 1, (6, 17)).astype(np.float32))
+
+        out, vjp = jax.vjp(lambda xx, yy: lut2d_scalar_row_fast(table, xx, yy),
+                           x, y)
+        gx, gy = vjp(g)
+        ref_out, ref_vjp = jax.vjp(
+            lambda xx, yy: lut2d(table, xx, jnp.broadcast_to(yy, xx.shape)),
+            x, y)
+        rx, ry = ref_vjp(g)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(gy), float(ry), rtol=1e-5, atol=1e-5)
+
+        # table cotangent is zero by the stop_gradient contract
+        gt = jax.grad(lambda t: jnp.sum(lut2d_scalar_row_fast(t, x, y) * g))(table)
+        assert float(jnp.abs(gt).max()) == 0.0

@@ -78,7 +78,7 @@ def test_full_pipeline_parity():
     got = np.asarray(eng.compute_dose(ct, [beam]), np.float64)
 
     want = golden_beam_dose(ct, beam, tables, cfg, dose_shape,
-                            max_radius=max(static.radii))
+                            max_radius=static.max_radius)
 
     assert want.max() > 0, "oracle produced zero dose"
     scale = want.max()

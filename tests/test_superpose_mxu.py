@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracedicom_tpu.ops.pallas_superposition import (
-    step_radii, superpose_adaptive, superpose_masked_jnp,
+    effective_sem_radii, superpose_adaptive, superpose_masked_jnp,
 )
 from raytracedicom_tpu.ops.superposition import (
     slice_uniform_rs, superpose_uniform_mxu,
@@ -33,17 +33,18 @@ def _uniform_case(seed=0, S=7, Y=24, X=16):
 
 def test_mxu_matches_per_source_on_uniform_slices():
     idd, rs = _uniform_case()
-    rads = step_radii(rs, 3.0, RADIUS)
+    rads = effective_sem_radii(rs, 3.0, RADIUS)
     want = np.asarray(superpose_masked_jnp(idd, rs, rads, RADIUS, PAD))
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
     assert bool(all_uniform)
-    got = np.asarray(superpose_uniform_mxu(idd, rs_slice, rads, RADIUS, PAD))
+    got = np.asarray(superpose_uniform_mxu(idd, rs_slice, rads.max(axis=1),
+                                           RADIUS, PAD))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6 * want.max())
 
 
 def test_adaptive_dispatch_uniform_and_general():
     idd, rs = _uniform_case(seed=1)
-    rads = step_radii(rs, 3.0, RADIUS)
+    rads = effective_sem_radii(rs, 3.0, RADIUS)
     want = np.asarray(superpose_masked_jnp(idd, rs, rads, RADIUS, PAD))
     got = np.asarray(jax.jit(
         lambda a, b: superpose_adaptive(a, b, rads, RADIUS, PAD))(idd, rs))
@@ -54,7 +55,7 @@ def test_adaptive_dispatch_uniform_and_general():
     rs_het = rs.at[3, 5, 5].mul(1.5)
     _, uni = slice_uniform_rs(idd, rs_het)
     assert not bool(uni)
-    rads_h = step_radii(rs_het, 3.0, RADIUS)
+    rads_h = effective_sem_radii(rs_het, 3.0, RADIUS)
     want_h = np.asarray(superpose_masked_jnp(idd, rs_het, rads_h, RADIUS, PAD))
     got_h = np.asarray(jax.jit(
         lambda a, b: superpose_adaptive(a, b, rads_h, RADIUS, PAD))(idd, rs_het))
@@ -67,7 +68,7 @@ def test_adaptive_gradients_are_per_source_on_uniform_input():
     per-source adjoint (each ray's own d w/d rs), not the gradient of the
     slice-reduced surrogate."""
     idd, rs = _uniform_case(seed=2, S=4, Y=12, X=10)
-    rads = step_radii(rs, 3.0, RADIUS)
+    rads = effective_sem_radii(rs, 3.0, RADIUS)
     g = jnp.asarray(np.random.RandomState(3).uniform(
         -1, 1, (4, 12 + 2 * PAD, 10 + 2 * PAD)).astype(np.float32))
 

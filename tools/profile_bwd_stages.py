@@ -39,9 +39,9 @@ def main():
     W = static.z_window
     L = static.n_layers
     pad = static.pad
-    max_r = max(static.radii)
+    max_r = static.max_radius
     print(f"ray_dims=({nrx},{nry}) W={W} L={L} pad={pad} max_r={max_r} "
-          f"radii={static.radii} dose_shape={static.dose_shape} "
+          f"dose_shape={static.dose_shape} "
           f"bbox={static.bbox_min}..{static.bbox_max}")
 
     key = jax.random.PRNGKey(0)
@@ -51,9 +51,9 @@ def main():
     g_slab = jax.random.uniform(k3, (W, nry + 2 * pad, nrx + 2 * pad), jnp.float32)
 
     from raytracedicom_tpu.ops.pallas_superposition import (
-        step_radii, superpose_pallas_raw, superpose_bwd_pallas,
+        effective_sem_radii, superpose_pallas_raw, superpose_bwd_pallas,
     )
-    rads = step_radii(rs, cfg.ks_sigma_cutoff, max_r)
+    rads = effective_sem_radii(rs, cfg.ks_sigma_cutoff, max_r)
 
     f_fwd = jax.jit(lambda a, b, r: superpose_pallas_raw(a, b, r, max_r, pad))
     f_bwd = jax.jit(lambda a, b, g, r: superpose_bwd_pallas(a, b, g, r, max_r, pad))

@@ -1,24 +1,23 @@
-"""Per-stage timing breakdown on the watercube benchmark field — the
-FINE_GRAINED_TIMING equivalent (kernel_wrapper.cu:390-416,1299-1352)."""
+"""Per-stage timing on the patient-like heterogeneous field + radius stats:
+how much of the per-source superposition cost the per-slice radius forces vs
+what per-(slice, y-tile) radii would allow."""
 import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import numpy as np, jax, jax.numpy as jnp
 
 from raytracedicom_tpu.config import EngineConfig
 from raytracedicom_tpu.engine import (
-    BeamInputs, DoseEngine, compute_beam_dose, first_larger_ordered,
+    BeamInputs, DoseEngine, first_larger_ordered,
 )
 from raytracedicom_tpu.physics.tables import load_physics_tables
 from raytracedicom_tpu.physics.interp import interp_at_index, interp_decimal_index
 from raytracedicom_tpu.ops import idd_sigma as isig
 from raytracedicom_tpu.ops import spot_conv, trace, transfer
-from raytracedicom_tpu.ops.pallas_superposition import (
-    effective_sem_radii, superpose_pallas,
-)
+from raytracedicom_tpu.ops.pallas_superposition import effective_sem_radii, superpose_pallas
 from raytracedicom_tpu.profiling import StageTimer
 from raytracedicom_tpu import plan
 
-tables = load_physics_tables(water_cube=True)
-ct_np, _ = plan.watercube_ct()
+tables = load_physics_tables(water_cube=False)
+ct_np, _ = plan.patient_ct()
 beam = plan.watercube_beam(tables)
 cfg = EngineConfig()
 eng = DoseEngine(tables, cfg)
@@ -60,21 +59,43 @@ geom_w = geom._replace(
     half_vw_sum=jax.lax.dynamic_slice(geom.half_vw_sum, (z0,), (W,)),
     step_vol=jax.lax.dynamic_slice(geom.step_vol, (z0,), (W,)))
 r_rl = dens_w * isig.lut1d_fast(tabs.rrl, dens_w * tabs.rrl_scale)
-li = -1   # deepest layer
-layer = isig.LayerScalars(
-    eidx[li], scalef[li], peaks[li],
-    jnp.clip(after[li] - z0, 0, W).astype(jnp.int32),
-    2.0 * a[li] * geom.delta_z * geom.corner_z + b[li] * geom.delta_z,
-    a[li] * geom.delta_z ** 2, es[li, 0] ** 2)
 
-fill = T.time("K2 fill (1 layer)", lambda d, c: isig.fill_idd_and_sigma(
-    d, c, rw[li], tr.first_inside - z0, tr.first_outside - z0, bfi - z0,
-    layer, geom_w, tabs.cidd, tabs.rrl, tabs.rrl_scale,
-    r_rl=r_rl, first_step_abs=bfi), dens_w, csp_w)
+fills = {}
+for li in (0, 10, 19):
+    layer = isig.LayerScalars(
+        eidx[li], scalef[li], peaks[li],
+        jnp.clip(after[li] - z0, 0, W).astype(jnp.int32),
+        2.0 * a[li] * geom.delta_z * geom.corner_z + b[li] * geom.delta_z,
+        a[li] * geom.delta_z ** 2, es[li, 0] ** 2)
+    name = f"K2 fill (layer {li})"
+    fills[li] = T.time(name, lambda d, c, l=layer, i=li: isig.fill_idd_and_sigma(
+        d, c, rw[i], tr.first_inside - z0, tr.first_outside - z0, bfi - z0,
+        l, geom_w, tabs.cidd, tabs.rrl, tabs.rrl_scale,
+        r_rl=r_rl, first_step_abs=bfi), dens_w, csp_w)
 
-rads = effective_sem_radii(fill.r_sigma_eff, 3.0, max_r)
-bev = T.time("K5 superposition (1 layer)", lambda i_, r_, rd: superpose_pallas(
-    i_, r_, rd, max_r, st.pad), fill.idd, fill.r_sigma_eff, rads)
+for li, fill in fills.items():
+    rads = effective_sem_radii(fill.r_sigma_eff, 3.0, max_r)
+    bev = T.time(f"K5 superposition (layer {li})", lambda i_, r_, rd: superpose_pallas(
+        i_, r_, rd, max_r, st.pad), fill.idd, fill.r_sigma_eff, rads)
+    # radius statistics: per-slice vs per-(slice, 8-row y-tile)
+    rs = np.asarray(fill.r_sigma_eff)
+    idd = np.asarray(fill.idd)
+    live = idd > 0
+    rs_m = np.where(live, rs, np.inf)
+    def radius_of(rr):
+        with np.errstate(divide="ignore"):
+            rd = np.where(np.isfinite(rr), (3.0 / (np.sqrt(2.0) * rr) + 0.5), -1)
+        return np.clip(rd, -1, max_r).astype(int)
+    slice_rad = radius_of(rs_m.min(axis=(1, 2)))
+    tile_rad = radius_of(rs_m.reshape(W, nry // 8, 8, nrx).min(axis=(2, 3)))
+    cost = lambda r: np.sum(np.where(r >= 0, 2.0 * (r + 1) * (2 * r + 1), 0.0) * 1.0)
+    # per-slice cost counts every tile at the slice radius
+    c_slice = np.sum(np.where(slice_rad >= 0, 2.0 * (slice_rad + 1) * (2 * slice_rad + 1), 0)) * (nry // 8)
+    c_tile = cost(tile_rad)
+    print(f"layer {li}: live slices {np.sum(slice_rad >= 0)}, slice radius "
+          f"mean {slice_rad[slice_rad>=0].mean():.1f} max {slice_rad.max()}, "
+          f"tile-radius mean {tile_rad[tile_rad>=0].mean():.1f}; "
+          f"op ratio tile/slice = {c_tile / c_slice:.3f}")
 
 dose0 = jnp.zeros(ct.shape, jnp.float32)
 T.time("K6 transfer (full beam)", lambda bv: transfer.transfer_bev_to_dose(

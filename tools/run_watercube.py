@@ -21,7 +21,7 @@ def main():
     eng = DoseEngine(tables, EngineConfig())
     static = eng.beam_static(beam, ct.shape)
     print("ray dims", static.grid.ray_dims, "z_window", static.z_window,
-          "radii", static.radii, "bbox", static.bbox_min, static.bbox_max)
+          "max radius", static.max_radius, "bbox", static.bbox_min, static.bbox_max)
     ct_d = jnp.asarray(ct)
 
     t0 = time.time()
