@@ -188,8 +188,14 @@ def _transfer_golden(dose, bev, beam, grid, pad, bbox_min, bbox_max):
 def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
                      cfg: EngineConfig, dose_shape, max_radius=None,
                      verbose=False) -> np.ndarray:
-    """Full-pipeline float64 dose for one beam; sequential reference semantics."""
-    assert not cfg.nuclear_enabled, "oracle covers the plain mode"
+    """Full-pipeline float64 dose for one beam; sequential reference
+    semantics. Covers the plain mode and the nuclear-halo modes
+    (NUCLEAR_CORR: halo split in the fill, spot-grid halo gather,
+    halo superposition + nucTransfDiv transfer,
+    kernel_wrapper.cu:320-374 and :100-128)."""
+    nuclear_on = cfg.nuclear_enabled
+    if nuclear_on and tables.nuclear is None:
+        raise ValueError("nuclear oracle needs nuclear tables")
     grid = compute_ray_grid(beam, cfg.conv_sigma_cutoff, cfg.superp_tile)
     nrx, nry = grid.ray_dims
     S = beam.steps
@@ -268,12 +274,40 @@ def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
     if max_radius is None:
         max_radius = pad
 
-    # layer loop: K2 fill + per-slice-radius K5 superposition
+    # nuclear-halo statics (engine orchestration transcription; the
+    # reference builds the coarse spot grid + nearest-primary-ray map in
+    # kernel_wrapper.cu:665-667,884-908)
+    if nuclear_on:
+        sy_n, sx_n = beam.spot_weights.shape[1:]
+        tile = cfg.superp_tile
+        nx_n = -(-sx_n // tile[0]) * tile[0]
+        ny_n = -(-sy_n // tile[1]) * tile[1]
+        sdp = np.asarray(beam.spot_idx_to_gantry.delta, np.float64)
+        sop = np.asarray(beam.spot_idx_to_gantry.offset, np.float64)
+        map_x = np.round(
+            (sop[0] + np.arange(sx_n) * sdp[0] - grid.ray_offset[0])
+            / grid.ray_res[0]).astype(np.int64)
+        map_y = np.round(
+            (sop[1] + np.arange(sy_n) * sdp[1] - grid.ray_offset[1])
+            / grid.ray_res[1]).astype(np.int64)
+        spot_dist = float(sdp[0] / beam.ray_spacing[0])
+        nuc_sq_max = float(np.max(tables.nuclear.sq_sigma))
+        px_w = 0.5 * (grid.ray_res[0] + grid.ray_res[1])
+        sigma_bound = np.sqrt(
+            (1.4 * 0.0294 * max_peak ** 0.896) ** 2 + nuc_sq_max
+            + float(np.max(spot_sigmas)) ** 2)
+        spot_px = px_w * spot_dist
+        nuc_radius = max(1, min(
+            int(cfg.ks_sigma_cutoff * sigma_bound / spot_px + 0.5) + 1,
+            cfg.max_superp_radius))
+        nuc_bev = np.zeros((S, ny_n + 2 * pad, nx_n + 2 * pad), np.float64)
+
+    # layer loop: K2 fill + per-band-radius K5 superposition
     bev = np.zeros((S, nry + 2 * pad, nrx + 2 * pad), np.float64)
     for l in range(L):
         air_quad = a_air[l] * dz * dz
         air_lin = 2.0 * a_air[l] * dz * cz + b_air[l] * dz
-        idd, rsig, _ = isig.fill_golden_numpy(
+        fill_out = isig.fill_golden_numpy(
             density, cumul_sp, np.asarray(ray_weights[l], np.float32),
             first_in, first_out, beam_first_inside,
             float(energy_idcs[l]), float(scale_facts[l]),
@@ -285,7 +319,17 @@ def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
             dose_to_water=cfg.dose_to_water, nuclear_mode=cfg.nuclear,
             bp_depth_cutoff=cfg.bp_depth_cutoff,
             ray_weight_cutoff=cfg.ray_weight_cutoff,
+            nuc_weight_tab=(np.asarray(tables.nuclear.weight)
+                            if nuclear_on else None),
+            nuc_sq_sigma_tab=(np.asarray(tables.nuclear.sq_sigma)
+                              if nuclear_on else None),
+            spot_dist=spot_dist if nuclear_on else 1.0,
+            entry_sigma_sq=float(entry_sigmas[l, 0] ** 2),
         )
+        if nuclear_on:
+            idd, rsig, _, nuc_idd_unit, nuc_rsig = fill_out
+        else:
+            idd, rsig, _ = fill_out
         if verbose:
             print(f"golden layer {l}: idd max {idd.max():.4g}")
         for s in range(S):
@@ -298,6 +342,27 @@ def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
             bev[s] += sup.superpose_golden_numpy(
                 idd[s:s + 1], rsig[s:s + 1], max_radius, pad,
                 rad_rows=rad_rows[None])[0]
+        if nuclear_on:
+            # spot-grid halo gather (extendAndPadd + nucRayWeights,
+            # kernel_wrapper.cu:858-864,327-341): each spot reads its
+            # nearest primary ray's unit halo, scaled by the raw weight
+            w_l = np.asarray(beam.spot_weights[l], np.float64)
+            n_idd = np.zeros((S, ny_n, nx_n), np.float32)
+            n_rs = np.full((S, ny_n, nx_n), np.float32(isig.BIG_RSIGMA))
+            n_idd[:, :sy_n, :sx_n] = (
+                nuc_idd_unit[:, map_y][:, :, map_x]
+                * w_l[None, :, :]).astype(np.float32)
+            n_rs[:, :sy_n, :sx_n] = nuc_rsig[:, map_y][:, :, map_x]
+            for s in range(S):
+                if not np.any(n_idd[s] > 0):
+                    continue
+                rad_rows = _band_radius_rows(n_rs[s], cfg.ks_sigma_cutoff,
+                                             nuc_radius)
+                if rad_rows.max() < 0:
+                    continue
+                nuc_bev[s] += sup.superpose_golden_numpy(
+                    n_idd[s:s + 1], n_rs[s:s + 1], nuc_radius, pad,
+                    rad_rows=rad_rows[None])[0]
 
     # K6 transfer
     from raytracedicom_tpu.ops import transfer as xfer
@@ -309,4 +374,22 @@ def golden_beam_dose(ct: np.ndarray, beam: Beam, tables,
     bbox_min, bbox_max = xfer.dose_bbox(ray_to_dose, grid.ray_dims, pad,
                                         (0, S), dose_shape)
     dose = np.zeros(dose_shape, np.float64)
-    return _transfer_golden(dose, bev, beam, grid, pad, bbox_min, bbox_max)
+    dose = _transfer_golden(dose, bev, beam, grid, pad, bbox_min, bbox_max)
+    if nuclear_on:
+        # halo transfer on the spot-grid fan (nucTransfDiv,
+        # kernel_wrapper.cu:100-128)
+        from types import SimpleNamespace
+        nuc_grid = SimpleNamespace(
+            ray_res=tuple(float(v) for v in beam.spot_idx_to_gantry.delta),
+            ray_offset=tuple(float(v) for v in beam.spot_idx_to_gantry.offset),
+        )
+        nuc_to_dose = FanFromIdxTransform(
+            beam.spot_idx_to_gantry,
+            np.asarray(beam.source_dist, np.float32),
+            beam.gantry_to_dose_idx,
+        )
+        nb_min, nb_max = xfer.dose_bbox(nuc_to_dose, (nx_n, ny_n), pad,
+                                        (0, S), dose_shape)
+        dose = _transfer_golden(dose, nuc_bev, beam, nuc_grid, pad,
+                                nb_min, nb_max)
+    return dose

@@ -76,17 +76,24 @@ def test_grad_spot_weights(setup):
 
 
 def test_grad_energies(setup):
+    """Energy gradient vs central FD over several directions.
+
+    The dose is piecewise-linear in energy (every LUT lookup is a linear
+    interp), so a large eps straddles kinks and measures segment averages:
+    at eps = 0.02 MeV individual directions disagree by up to ~80%, while at
+    eps = 0.002 the FD converges to < 1% (measured r3 on the CPU backend) —
+    the f64 loss reduction keeps the fp32 dose noise below that."""
     loss, grad, ct, inputs = setup
     _, _, g_e = grad(ct, inputs.spot_weights, inputs.energies)
     assert np.isfinite(np.asarray(g_e)).all()
     assert float(jnp.max(jnp.abs(g_e))) > 0
-    v = jnp.asarray(np.array([1.0, -0.7], np.float32))
-    # small eps so the integer layer bounds (Bragg cutoff steps) don't jump
-    fd = _directional_fd(loss, (ct, inputs.spot_weights, inputs.energies), 2, v, 0.02)
-    got = float(jnp.vdot(g_e, v))
-    # energy reaches dose through several table interps and the depth
-    # windowing; piecewise-linear kinks make FD approximate
-    assert abs(got - fd) < 0.25 * max(abs(fd), 1e-2), (got, fd)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        v = jnp.asarray(rng.randn(*np.shape(g_e)).astype(np.float32))
+        fd = _directional_fd(loss, (ct, inputs.spot_weights, inputs.energies),
+                             2, v, 0.002)
+        got = float(jnp.vdot(g_e, v))
+        assert abs(got - fd) < 0.05 * max(abs(fd), 1e-2), (got, fd)
 
 
 def test_grad_hu_grid_finite_and_nonzero(setup):

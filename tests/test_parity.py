@@ -190,3 +190,39 @@ def test_spot_conv_vs_reference_cpp(tmp_path):
             np.float32(rs_y), rad_y, sy, n_out_x, offset, delta)
 
         np.testing.assert_allclose(got[layer], out, rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_pipeline_parity_nuclear_fluka():
+    """Nuclear-mode (fluka) engine dose vs the composed oracle: exercises the
+    halo split in the fill, the spot-grid halo gather/pad, the halo
+    superposition and the nucTransfDiv transfer wiring
+    (kernel_wrapper.cu:320-374, :100-128) end to end — a composition error
+    anywhere in the nuclear branch fails here even though the per-op fill
+    golden passes."""
+    tables = load_physics_tables(water_cube=True, nuclear="fluka")
+    cfg = EngineConfig(nuclear="fluka")
+    ct, beam = mini_watercube(tables)
+    dose_shape = ct.shape
+
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, dose_shape)
+    got = np.asarray(eng.compute_dose(ct, [beam]), np.float64)
+
+    want = golden_beam_dose(ct, beam, tables, cfg, dose_shape,
+                            max_radius=static.max_radius)
+
+    assert want.max() > 0, "oracle produced zero dose"
+    scale = want.max()
+    diff = np.abs(got - want)
+    rel = diff.max() / scale
+    assert rel < 5e-4, (
+        f"max |engine - oracle| = {diff.max():.4g} ({100 * rel:.3f}% of max "
+        f"{scale:.4g}) at {np.unravel_index(diff.argmax(), diff.shape)}"
+    )
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-3
+
+    from compare_dose import gamma_pass_rate
+    rate, _ = gamma_pass_rate(want, got, spacing_mm=1.0, dd_percent=0.5,
+                              dta_mm=0.5, cutoff_frac=0.1)
+    assert rate == 1.0, f"gamma 0.5%/0.5mm pass rate {rate:.4f} < 1"

@@ -35,13 +35,17 @@ def timeit(fn, n=3):
 ORIG_SUP = eng_mod.superpose_adaptive
 ORIG_FILL = isig.fill_idd_and_sigma
 ORIG_CONV = spot_conv.spot_to_ray_weights
+from raytracedicom_tpu.ops import transfer as _xfer_mod
+ORIG_XFER = _xfer_mod.transfer_bev_to_dose
 
 
 def patch(name):
     """Install one ablation; returns a restore fn."""
+    from raytracedicom_tpu.ops import transfer as xfer
     eng_mod.superpose_adaptive = ORIG_SUP
     isig.fill_idd_and_sigma = ORIG_FILL
     spot_conv.spot_to_ray_weights = ORIG_CONV
+    xfer.transfer_bev_to_dose = ORIG_XFER
     if name == "no_rs_adj":
         # kill d(superposition)/d(rs): rs enters superposition detached
         eng_mod.superpose_adaptive = (
@@ -59,6 +63,21 @@ def patch(name):
             a[6] = jax.tree_util.tree_map(sg, a[6])  # LayerScalars
             return ORIG_FILL(*a, **k)
         isig.fill_idd_and_sigma = fill
+    elif name == "no_fill_rs_chain":
+        # superposition's g_rs is still computed but stops at the fill
+        # boundary: isolates the fill sigma-recurrence adjoint
+        def fill(*a, **k):
+            out = ORIG_FILL(*a, **k)
+            return out._replace(r_sigma_eff=sg(out.r_sigma_eff))
+        isig.fill_idd_and_sigma = fill
+    elif name == "no_transfer_adj":
+        # kill the BEV->dose transfer adjoint (tent transpose)
+        from raytracedicom_tpu.ops import transfer as xfer
+        orig = xfer.transfer_bev_to_dose
+
+        def tr(dose, bev, *a, **k):
+            return orig(dose, sg(bev), *a, **k) + 0.0 * jnp.sum(bev)
+        xfer.transfer_bev_to_dose = tr
     elif name == "no_conv_e":
         # spot conv sees detached sigmas: no energy grad through K3 weights
         def conv(spot_w, entry_sigmas, *a, **k):
