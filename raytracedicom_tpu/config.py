@@ -31,6 +31,12 @@ class EngineConfig:
     # adjoints are cheap enough that storing residuals beats recomputing the
     # forward (measured r3: watercube grad 312 -> 244 ms, hetero 508 -> 435)
     remat_layers: bool = False
+    # jax.checkpoint only the K2 fill: recomputes the fill forward in the
+    # backward pass instead of materializing its (S,Y,X) intermediates.
+    # Measured r3 on v5e: a net LOSS (watercube grad 251 -> 297 ms — the
+    # recompute costs more than the residual traffic); kept as a tunable
+    # for memory-constrained geometries
+    remat_fill: bool = False
 
     @property
     def nuclear_enabled(self) -> bool:

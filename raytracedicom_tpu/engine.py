@@ -434,12 +434,9 @@ def compute_beam_dose(
             out_specs=P(axis, None, None, None), check_vma=False,
         )(idd_w, rs_w, rads)
 
-    def layer_body(acc, per_layer):
-        layer, rw, spot_w = per_layer
-        layer = layer._replace(
-            after_last=jnp.clip(layer.after_last - z0, 0, W).astype(jnp.int32))
-        fill = isig.fill_idd_and_sigma(
-            dens_w, csp_w, rw, first_inside_rel, first_outside_rel,
+    def _fill_call(dens, csp, rw, layer, rrl_dens):
+        return isig.fill_idd_and_sigma(
+            dens, csp, rw, first_inside_rel, first_outside_rel,
             first_step_rel, layer, geom_w,
             tables.cidd, tables.rrl, tables.rrl_scale,
             dose_to_water=cfg.dose_to_water,
@@ -449,9 +446,19 @@ def compute_beam_dose(
             nuc_weight_tab=tables.nuc_weight if nuclear_on else None,
             nuc_sq_sigma_tab=tables.nuc_sq_sigma if nuclear_on else None,
             spot_dist=static.spot_dist,
-            r_rl=r_rl,
+            r_rl=rrl_dens,
             first_step_abs=beam_first_inside,
         )
+
+    fill_fn = _fill_call
+    if cfg.remat_fill and not cfg.remat_layers:
+        fill_fn = jax.checkpoint(_fill_call)
+
+    def layer_body(acc, per_layer):
+        layer, rw, spot_w = per_layer
+        layer = layer._replace(
+            after_last=jnp.clip(layer.after_last - z0, 0, W).astype(jnp.int32))
+        fill = fill_fn(dens_w, csp_w, rw, layer, r_rl)
         bev_acc, nuc_acc = acc
         idd_w = constrain(fill.idd)
         rs_w = constrain(fill.r_sigma_eff)

@@ -157,6 +157,20 @@ class FillResult(NamedTuple):
     nuc_r_sigma_eff: Optional[Array] = None  # (S, Y, X) halo reciprocal sigma [1/spot-pixel]
 
 
+def forward_fill_last_valid(v: Array, valid: Array) -> Array:
+    """res[s] = v[L(s)] with L(s) the last valid index <= s (v[0] carries
+    when none exists): log2(S) associative-scan rounds — far cheaper than a
+    take_along_axis gather on TPU. An analytic segment-sum custom VJP was
+    tried in r3 and measured ~9 ms/beam SLOWER than differentiating the
+    scan, so autodiff handles the adjoint."""
+    def op(a, b):
+        av, am = a
+        bv, bm = b
+        return jnp.where(bm, bv, av), am | bm
+    res, _ = jax.lax.associative_scan(op, (v, valid), axis=0)
+    return res
+
+
 def fill_idd_and_sigma(
     density: Array,          # (S, Y, X) from the tracer
     cumul_sp: Array,         # (S, Y, X) from the tracer
@@ -281,24 +295,16 @@ def fill_idd_and_sigma(
     else:
         res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
     # ``res`` carries its previous value across steps whose mass is below the
-    # epsilon (the reference never resets it): forward-fill as an associative
-    # scan with the "last valid value" operator (log2(S) elementwise rounds —
-    # far cheaper than a take_along_axis gather on TPU).
-    def _last_valid(a, b):
-        av, am = a
-        bv, bm = b
-        return jnp.where(bm, bv, av), am | bm
-    res, _ = jax.lax.associative_scan(
-        _last_valid, (jnp.where(valid, res_now, 0.0), valid), axis=0
-    )
+    # epsilon (the reference never resets it): forward-fill with the "last
+    # valid value" operator.
+    res = forward_fill_last_valid(jnp.where(valid, res_now, 0.0), valid)
     idd = jnp.where(out_live, res, 0.0)
 
     nuc_idd_unit = None
     nuc_r_sigma_eff = None
     if nuclear_on:
-        nuc_res, _ = jax.lax.associative_scan(
-            _last_valid, (jnp.where(valid, nuc_res_now, 0.0), valid), axis=0
-        )
+        nuc_res = forward_fill_last_valid(
+            jnp.where(valid, nuc_res_now, 0.0), valid)
         nuc_idd_unit = jnp.where(out_live, nuc_res, 0.0)
         nuc_sq = lut2d_scalar_row_fast(
             nuc_sq_sigma_tab, cumul_mid * layer.energy_scale, layer.energy_idx)

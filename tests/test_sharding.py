@@ -129,3 +129,31 @@ def test_ray_sharding_hlo_has_no_slab_allgather(setup):
     (x0, y0, z0), (x1, y1, z1) = static.bbox_min, static.bbox_max
     bbox_elems = (z1 - z0 + 1) * (y1 - y0 + 1) * (x1 - x0 + 1)
     assert any(n >= bbox_elems for n in ar), (ar, bbox_elems)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_dose_matches_single_device_heterogeneous(setup, mesh_shape):
+    """Sharded == unsharded on a heterogeneous CT: the general (per-source)
+    superposition branch runs under shard_map with per-band radii sliced
+    from the GLOBAL band table — a wrong slice offset or a per-shard radius
+    recomputation would break this exactly here."""
+    _, inputs, tabs, static, cfg = setup
+    n = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n:
+        pytest.skip("needs 8 virtual devices")
+    ct = np.full((72, 72, 72), 1000.0, np.float32)
+    ct[40:60, 20:40, 20:40] = 300.0      # lung insert in the beam path
+    ct[30:40, 36:50, 30:44] = 1800.0     # bone slab
+    ct = jnp.asarray(ct)
+    mesh = make_mesh(jax.devices()[:n], n_field=mesh_shape[0])
+
+    dose0 = jnp.zeros(static.dose_shape, jnp.float32)
+    ref = np.asarray(jax.jit(
+        lambda *a: __import__("raytracedicom_tpu.engine", fromlist=["x"])
+        .compute_beam_dose(*a, static, cfg)
+    )(ct, dose0, inputs, tabs))
+
+    fn = make_sharded_dose_fn(static, cfg, mesh)
+    out = np.asarray(fn(ct, dose0, inputs, tabs))
+    assert ref.max() > 0
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6 * ref.max())
