@@ -40,6 +40,7 @@ import numpy as np
 from ..config import SCATTER_CONSTANTS
 from ..physics.interp import lut1d, lut2d
 from .pallas_lut import lut1d_fast, lut2d_scalar_row_fast
+from .pallas_scan import fused_depth_scans
 
 Array = jnp.ndarray
 
@@ -241,22 +242,25 @@ def fill_idd_and_sigma(
     updf = upd.astype(f32)
     fs_abs = first_step if first_step_abs is None else first_step_abs
     inc_div0 = layer.air_lin + (2.0 * fs_abs.astype(f32) - 1.0) * layer.air_quad
-    upd_count_before = jnp.cumsum(updf, axis=0) - updf        # updates strictly before n
-    inc_div_prev = inc_div0 + 2.0 * layer.air_quad * upd_count_before
+    if nuclear_mode == "gauss_fit":
+        post_density = jnp.zeros_like(density)                # no dip
+    else:
+        post = body_live & ~pre
+        post_density = jnp.where(post, density, 0.0)
+
+    # all five depth recurrences in one fused sweep (Pallas on TPU); the
+    # air scalars factor out linearly via the mask moments ucb/cub2
+    incinc_after, inc_scat_after, ssp_a, cum_post_density, ucb, cub2 = (
+        fused_depth_scans(tick, post_density, updf))
+    inc_div_prev = inc_div0 + 2.0 * layer.air_quad * ucb
     inc_div_after = inc_div_prev + 2.0 * layer.air_quad * updf
-
-    incinc_after = jnp.cumsum(tick, axis=0)                   # incincScat after step n
-    inc_scat_after = jnp.cumsum(jnp.where(upd, incinc_after, 0.0), axis=0)
-    inc_scat_prev = inc_scat_after - jnp.where(upd, incinc_after, 0.0)
-
-    term = jnp.where(upd, inc_scat_prev + inc_div_prev, 0.0)
-    sigma_sq_pre = -inc_div0 + jnp.cumsum(term, axis=0)
+    sigma_sq_pre = (-inc_div0 + ssp_a
+                    + inc_div0 * (ucb + updf)
+                    + 2.0 * layer.air_quad * cub2)
 
     if nuclear_mode == "gauss_fit":
         sigma_sq = sigma_sq_pre                               # no post-peak dip
     else:
-        post = body_live & ~pre
-        cum_post_density = jnp.cumsum(jnp.where(post, density, 0.0), axis=0)
         dip = 1.5 * (inc_scat_after + inc_div_after) * cum_post_density
         sigma_sq = jnp.where(pre, sigma_sq_pre, sigma_sq_pre - dip)
 

@@ -86,6 +86,26 @@ def check_lut(lines):
     assert rel(got, want) < 1e-6 and rel(kc, mc) < 1e-5
 
 
+def check_fused_scan(lines):
+    import raytracedicom_tpu.ops.pallas_scan as psc
+    rng = np.random.default_rng(3)
+    S, Y, X = 264, 128, 128
+    t = jnp.asarray(rng.standard_normal((S, Y, X)).astype(np.float32))
+    pd = jnp.asarray(rng.uniform(0, 1, (S, Y, X)).astype(np.float32))
+    u = jnp.asarray((rng.uniform(0, 1, (S, Y, X)) < 0.6).astype(np.float32))
+    want = jax.jit(lambda a, b: psc.fused_depth_scans_jnp(a, b, u))(t, pd)
+    got = jax.jit(lambda a, b: psc._fused_fwd_pallas(a, b, u))(t, pd)
+    e_fwd = max(rel(a, b) for a, b in zip(got, want))
+    gs = tuple(jnp.asarray(rng.standard_normal((S, Y, X)).astype(np.float32))
+               for _ in range(4))
+    _, vjp = jax.vjp(lambda a, b: psc.fused_depth_scans_jnp(a, b, u), t, pd)
+    rt, rpd = vjp(gs + (jnp.zeros_like(t), jnp.zeros_like(t)))
+    gt, gpd = jax.jit(psc._fused_bwd_pallas)(u, *gs)
+    lines.append(f"fused_depth_scans S{S}: fwd {e_fwd:.2e}  "
+                 f"bwd g_t {rel(gt, rt):.2e}  g_pd {rel(gpd, rpd):.2e}")
+    assert e_fwd < 1e-5 and rel(gt, rt) < 1e-5 and rel(gpd, rpd) < 1e-5
+
+
 def main():
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -95,6 +115,7 @@ def main():
     check_superposition(lines)
     check_tent_transpose(lines)
     check_lut(lines)
+    check_fused_scan(lines)
     lines.append("all checks passed")
     print("\n".join(lines))
 
