@@ -31,6 +31,36 @@ def _median_ms(fn, n_trials=5):
     return float(np.median(times)), times
 
 
+def _device_ms(apply_scalar, weights, n_trials=3):
+    """Pure device ms per application: in-graph lax.scan of N applications
+    (CSE defeated by a per-step weight perturbation), device time =
+    (T(4) - T(1)) / 3 — the ~24 ms/dispatch tunnel cost cancels exactly
+    (methodology: PERF.md 'Measurement methodology')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def timed(n):
+        @jax.jit
+        def rep(w):
+            def body(acc, k):
+                eps = 1e-12 * k.astype(jnp.float32)
+                return acc + apply_scalar(w + eps), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return acc
+
+        v = float(rep(weights))  # compile + warm-up
+        assert np.isfinite(v), f"non-finite device-bench value {v}"
+        ts = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            float(rep(weights))
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return float(np.median(ts))
+
+    return max((timed(4) - timed(1)) / 3.0, 0.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -70,6 +100,14 @@ def main():
     forward()
     fwd_ms, fwd_times = _median_ms(forward)
 
+    def fwd_scalar(w):
+        dose0 = jnp.zeros(static.dose_shape, jnp.float32)
+        inp = BeamInputs(spot_weights=w, energies=inputs.energies,
+                         spot_sigmas=inputs.spot_sigmas)
+        return jnp.max(compute_beam_dose(ct, dose0, inp, eng.table_arrays,
+                                         static, cfg))
+    fwd_dev_ms = _device_ms(fwd_scalar, inputs.spot_weights)
+
     # ---- gradient pass: value_and_grad of an MSE loss w.r.t. the
     # differentiable plan inputs (spot weights + energies), through the
     # full engine (BASELINE "grad-pass overhead ratio") ----
@@ -96,6 +134,19 @@ def main():
     assert np.isfinite(gv), f"bad grad-pass value {gv}"
     grad_pass()
     grad_ms, grad_times = _median_ms(grad_pass, n_trials=3)
+
+    def grad_scalar(w):
+        def loss(wi, e):
+            inp = BeamInputs(spot_weights=wi, energies=e,
+                             spot_sigmas=inputs.spot_sigmas)
+            dose0 = jnp.zeros(static.dose_shape, ct.dtype)
+            dose = compute_beam_dose(ct, dose0, inp, eng.table_arrays,
+                                     static, cfg)
+            return jnp.mean((dose - target) ** 2) / jnp.mean(target ** 2)
+        val, (gw, ge) = jax.value_and_grad(loss, argnums=(0, 1))(
+            w, inputs.energies)
+        return val + jnp.sum(gw) + jnp.sum(ge)
+    grad_dev_ms = _device_ms(grad_scalar, 0.9 * inputs.spot_weights)
 
     # ---- patient-like heterogeneous CT (the reference's actual headline
     # claim is sub-second on patient CT, README.md:2): same plan geometry,
@@ -124,6 +175,15 @@ def main():
     het_forward()
     het_ms, het_times = _median_ms(het_forward)
 
+    def het_fwd_scalar(w):
+        dose0 = jnp.zeros(het_static.dose_shape, jnp.float32)
+        inp = BeamInputs(spot_weights=w, energies=het_inputs.energies,
+                         spot_sigmas=het_inputs.spot_sigmas)
+        return jnp.max(compute_beam_dose(het_ct, dose0, inp,
+                                         het_eng.table_arrays,
+                                         het_static, cfg))
+    het_dev_ms = _device_ms(het_fwd_scalar, het_inputs.spot_weights)
+
     het_target = het_kernel(het_ct, jnp.zeros(het_static.dose_shape, jnp.float32),
                             het_inputs, het_eng.table_arrays)
     het_target = jax.block_until_ready(het_target)
@@ -149,6 +209,19 @@ def main():
     het_grad_pass()
     het_grad_ms, het_grad_times = _median_ms(het_grad_pass, n_trials=3)
 
+    def het_grad_scalar(w):
+        def loss(wi, e):
+            inp = BeamInputs(spot_weights=wi, energies=e,
+                             spot_sigmas=het_inputs.spot_sigmas)
+            dose0 = jnp.zeros(het_static.dose_shape, het_ct.dtype)
+            dose = compute_beam_dose(het_ct, dose0, inp,
+                                     het_eng.table_arrays, het_static, cfg)
+            return jnp.mean((dose - het_target) ** 2) / jnp.mean(het_target ** 2)
+        val, (gw, ge) = jax.value_and_grad(loss, argnums=(0, 1))(
+            w, het_inputs.energies)
+        return val + jnp.sum(gw) + jnp.sum(ge)
+    het_grad_dev_ms = _device_ms(het_grad_scalar, 0.9 * het_inputs.spot_weights)
+
     n_layers, sy, sx = np.asarray(beam.spot_weights).shape
     beamlets = n_layers * sy * sx
     nrx, nry = static.grid.ray_dims
@@ -171,9 +244,15 @@ def main():
         "ray_steps_per_s": round(rays * beam.steps / (fwd_ms / 1e3), 1),
         "grad_pass_ms": round(grad_ms, 2),
         "grad_fwd_ratio": round(grad_ms / fwd_ms, 3),
+        "device_ms_per_beam": round(fwd_dev_ms, 2),
+        "grad_device_ms": round(grad_dev_ms, 2),
+        "grad_fwd_device_ratio": round(grad_dev_ms / fwd_dev_ms, 3),
         "hetero_forward_ms_per_beam": round(het_ms, 2),
         "hetero_grad_pass_ms": round(het_grad_ms, 2),
         "hetero_grad_fwd_ratio": round(het_grad_ms / het_ms, 3),
+        "hetero_device_ms_per_beam": round(het_dev_ms, 2),
+        "hetero_grad_device_ms": round(het_grad_dev_ms, 2),
+        "hetero_grad_fwd_device_ratio": round(het_grad_dev_ms / het_dev_ms, 3),
         "n_devices": len(jax.devices()),
     }))
 

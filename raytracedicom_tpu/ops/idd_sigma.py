@@ -412,9 +412,10 @@ def fill_golden_numpy(
                         inc_div += 2.0 * air_quad
                     elif nuclear_mode != "gauss_fit":
                         sigma_sq -= 1.5 * (inc_scat + inc_div) * dens
-                    r_sigma_eff = half_vw_sum[step] / (
-                        SQRT2 * (np.sqrt(max(sigma_sq, 0.0)) + sigma_delta)
-                    )
+                    denom = SQRT2 * (np.sqrt(max(sigma_sq, 0.0)) + sigma_delta)
+                    # denom == 0 (soukup's sigma_delta = 0 before any scatter
+                    # accrues) gives +inf in the reference's fp math too
+                    r_sigma_eff = half_vw_sum[step] / denom if denom > 0 else np.inf
                     if c_sp > peak_depth * bp_depth_cutoff or step == after:
                         beam_live = False
                         after = step

@@ -97,6 +97,45 @@ def test_full_pipeline_parity():
     assert rate == 1.0, f"gamma 0.5%/0.5mm pass rate {rate:.4f} < 1"
 
 
+def test_full_pipeline_parity_distinct_dose_grid():
+    """Engine vs oracle with dose_shape != ct.shape and gantry_to_dose_idx
+    != gantry_to_im_idx: a 2 mm 48^3 dose grid (vs the 1 mm 96^3 CT) with a
+    fractional offset, exercising the separable fan_to_idx plan / bbox
+    arithmetic on a non-identity dose mapping. The reference carries the
+    same structure and flags it as its own todo (main.cu:189,197)."""
+    tables = load_physics_tables(water_cube=True)
+    cfg = EngineConfig()
+    ct, beam = mini_watercube(tables)
+    dose_dim = 48
+    dose_shape = (dose_dim, dose_dim, dose_dim)
+    # world -> dose idx: 2 mm voxels, deliberately fractional offset so the
+    # dose lattice does not coincide with any CT voxel centers
+    beam = beam._replace(gantry_to_dose_idx=np_affine(
+        np.eye(3, dtype=np.float32) * 0.5, [24.3, 23.7, 28.1]))
+
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, dose_shape)
+    got = np.asarray(eng.compute_dose(ct, [beam], dose_shape=dose_shape),
+                     np.float64)
+    assert got.shape == dose_shape
+
+    want = golden_beam_dose(ct, beam, tables, cfg, dose_shape,
+                            max_radius=static.max_radius)
+
+    assert want.max() > 0, "oracle produced zero dose on the coarse grid"
+    scale = want.max()
+    rel = np.abs(got - want).max() / scale
+    assert rel < 5e-4, (
+        f"max |engine - oracle| = {100 * rel:.3f}% of max {scale:.4g} "
+        f"on the distinct dose grid")
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-3
+
+    from compare_dose import gamma_pass_rate
+    rate, _ = gamma_pass_rate(want, got, spacing_mm=2.0, dd_percent=0.5,
+                              dta_mm=1.0, cutoff_frac=0.1)
+    assert rate == 1.0, f"gamma 0.5%/1mm pass rate {rate:.4f} < 1"
+
+
 # ---------------------------------------------------------------------------
 # Reference CPU convolution as a compiled, non-self-authored oracle
 # ---------------------------------------------------------------------------
@@ -193,15 +232,18 @@ def test_spot_conv_vs_reference_cpp(tmp_path):
 
 
 @pytest.mark.slow
-def test_full_pipeline_parity_nuclear_fluka():
-    """Nuclear-mode (fluka) engine dose vs the composed oracle: exercises the
-    halo split in the fill, the spot-grid halo gather/pad, the halo
-    superposition and the nucTransfDiv transfer wiring
+@pytest.mark.parametrize("mode", ["fluka", "soukup", "gauss_fit"])
+def test_full_pipeline_parity_nuclear(mode):
+    """Nuclear-mode engine dose vs the composed oracle, for ALL THREE modes:
+    exercises the halo split in the fill, the spot-grid halo gather/pad, the
+    halo superposition and the nucTransfDiv transfer wiring
     (kernel_wrapper.cu:320-374, :100-128) end to end — a composition error
     anywhere in the nuclear branch fails here even though the per-op fill
-    golden passes."""
-    tables = load_physics_tables(water_cube=True, nuclear="fluka")
-    cfg = EngineConfig(nuclear="fluka")
+    golden passes. The modes differ in eRefSq/sigmaDelta and gauss_fit
+    additionally takes the no-dip + 0.97-entry-sigma branches
+    (kernel_wrapper.cu:232-245, :301)."""
+    tables = load_physics_tables(water_cube=True, nuclear=mode)
+    cfg = EngineConfig(nuclear=mode)
     ct, beam = mini_watercube(tables)
     dose_shape = ct.shape
 
