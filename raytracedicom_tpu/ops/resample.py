@@ -168,11 +168,13 @@ def separable_resample(vol: Array, c0: Array, c1: Array, c2: Array,
     return _separable_resample_impl(vol, c0, c1, c2)
 
 
-def _separable_resample_impl(vol: Array, c0: Array, c1: Array, c2: Array) -> Array:
+def separable_pass12(vol: Array, c0: Array, c1: Array) -> Array:
+    """Passes 1-2 of the separable resample: (D0, D1, D2) -> (S, J, D2).
+    Exposed so the fused K1 trace tail (ops/pallas_trace.py) can take over
+    from pass 3 onward on TPU."""
     D0, D1, D2 = vol.shape
     S = c0.shape[0]
     J = c1.shape[1]
-    I = c2.shape[1]
 
     # pass 1: axis 0, coordinate depends on s only (contiguous slice takes)
     i0 = jnp.floor(c0).astype(jnp.int32)
@@ -195,7 +197,15 @@ def _separable_resample_impl(vol: Array, c0: Array, c1: Array, c2: Array) -> Arr
         m1b, jnp.take_along_axis(A, jnp.clip(i1 + 1, 0, D1 - 1)[:, :, None], axis=1), 0.0
     )
     B = ga + (gb - ga) * f1                                   # (S, J, D2)
+    return B
 
+
+def _separable_resample_impl(vol: Array, c0: Array, c1: Array, c2: Array) -> Array:
+    D2 = vol.shape[2]
+    S = c0.shape[0]
+    J = c1.shape[1]
+    I = c2.shape[1]
+    B = separable_pass12(vol, c0, c1)
     # pass 3: axis 2, coordinate (s, i) (Pallas lane gather)
     coords = jnp.broadcast_to(c2[:, None, :], (S, J, I)).reshape(S * J, I)
     C = row_lerp(B.reshape(S * J, D2), coords)

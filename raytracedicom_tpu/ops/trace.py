@@ -113,7 +113,10 @@ def trace_density_and_sp(
       first_outside = 1 + (last step with HU > 150)
     become mask counts / reversed argmax over precomputed arrays.
     """
-    from .resample import fan_from_idx_plan, separable_resample, taps_from_scales
+    from .pallas_lut import on_tpu
+    from .pallas_trace import fused_trace_tail
+    from .resample import (fan_from_idx_plan, separable_pass12,
+                           separable_resample, taps_from_scales)
 
     plan = fan_from_idx_plan(t, ray_dims, steps)
     if plan is not None:
@@ -121,9 +124,22 @@ def trace_density_and_sp(
         # trilinear resample — bandwidth-bound instead of gather-bound
         perm, make_coords, scales = plan
         c0, c1, c2 = make_coords()
+        _, _, step_len = ray_start_inc(t, ray_dims)
+        if on_tpu():
+            # fused tail: pass 3 + LUTs + cumsums + entry reductions in one
+            # Pallas sweep (HBM: read B once, write density/cumul once).
+            # Gradients w.r.t. the CT flow through the jnp-mirror VJP (the
+            # optimization loop never differentiates K1).
+            B = separable_pass12(jnp.transpose(ct_vol, perm), c0, c1)
+            density, cumul_sp, first_inside, first_outside = fused_trace_tail(
+                B, c2, step_len, density_lut, density_scale, sp_lut, sp_scale,
+                entry_threshold)
+            return TraceResult(
+                density=density, cumul_sp=cumul_sp, first_inside=first_inside,
+                first_outside=first_outside, step_len=step_len,
+            )
         hu = separable_resample(jnp.transpose(ct_vol, perm), c0, c1, c2,
                                 taps=taps_from_scales(scales))
-        _, _, step_len = ray_start_inc(t, ray_dims)
     else:
         start, inc, step_len = ray_start_inc(t, ray_dims)
         kk = jnp.arange(steps, dtype=start.dtype)

@@ -23,26 +23,33 @@ from raytracedicom_tpu.ops.pallas_superposition import (
 from raytracedicom_tpu import plan
 
 
-def marginal_ms(fn, args, n=10, trials=3, probe=lambda out: out):
-    """(sum over n in-jit applications)/n with per-step input perturbation."""
-    @jax.jit
-    def rep(*args):
-        def body(acc, k):
-            eps = 1e-12 * k.astype(jnp.float32)
-            out = fn(*((args[0] + eps,) + args[1:]))
-            leaf = [x for x in jax.tree_util.tree_leaves(out)
-                    if hasattr(x, "ravel")][0]
-            return acc + leaf.ravel()[0].astype(jnp.float32), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
-        return acc
+def marginal_ms(fn, args, n=10, trials=5, probe=lambda out: out):
+    """Pure device ms per application: (T(n) - T(1)) / (n - 1) with both T
+    from in-jit lax.scan repetition (per-step input perturbation defeats
+    CSE). The ~24 ms/dispatch tunnel cost cancels exactly; min-of-trials
+    suppresses the tunnel's several-ms dispatch jitter (needed for sub-ms
+    stages)."""
+    def timed(reps):
+        @jax.jit
+        def rep(*args):
+            def body(acc, k):
+                eps = 1e-12 * k.astype(jnp.float32)
+                out = fn(*((args[0] + eps,) + args[1:]))
+                leaf = [x for x in jax.tree_util.tree_leaves(out)
+                        if hasattr(x, "ravel")][0]
+                return acc + leaf.ravel()[0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
 
-    float(rep(*args))
-    ts = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
         float(rep(*args))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts)) / n
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(rep(*args))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return float(np.min(ts))
+
+    return max((timed(n) - timed(1)) / (n - 1), 0.0)
 
 
 def main():
@@ -169,6 +176,47 @@ def main():
         return vjp(g)
     t = marginal_ms(tf_bwd, (bev, g_dose), n=4)
     print(f"transfer fwd+vjp (full beam): {t:.2f} ms")
+
+    def conv_bwd(w, g):
+        _, vjp = jax.vjp(lambda ww: spot_conv.spot_to_ray_weights(
+            ww, es, grid.ray_dims, st.spot_delta, st.spot_offset,
+            (grid.ray_res[0], grid.ray_res[1]),
+            (grid.ray_offset[0], grid.ray_offset[1]),
+            jnp.asarray([1.0, 1.0]), 3.0), w)
+        return vjp(g)
+    t = marginal_ms(conv_bwd, (jnp.asarray(beam.spot_weights),
+                               jnp.ones_like(rw_all)), n=6)
+    print(f"spot conv fwd+vjp (all 20 layers): {t:.2f} ms")
+
+    # ---- whole-beam reconciliation anchors (same program bench.py times) ----
+    from raytracedicom_tpu.engine import BeamInputs, compute_beam_dose
+    inputs = BeamInputs(spot_weights=jnp.asarray(beam.spot_weights),
+                        energies=jnp.asarray(beam.energies),
+                        spot_sigmas=jnp.asarray(beam.spot_sigmas))
+
+    def whole_fwd(w):
+        inp = BeamInputs(spot_weights=w, energies=inputs.energies,
+                         spot_sigmas=inputs.spot_sigmas)
+        return jnp.max(compute_beam_dose(
+            ct, jnp.zeros(st.dose_shape, jnp.float32), inp, tabs, st, cfg))
+    t_fwd = marginal_ms(whole_fwd, (inputs.spot_weights,), n=4)
+    print(f"WHOLE beam fwd: {t_fwd:.2f} ms")
+
+    target = jax.jit(whole_fwd)(inputs.spot_weights)  # scalar target is fine
+
+    def whole_grad(w):
+        def loss(wi, e):
+            inp = BeamInputs(spot_weights=wi, energies=e,
+                             spot_sigmas=inputs.spot_sigmas)
+            d = compute_beam_dose(ct, jnp.zeros(st.dose_shape, jnp.float32),
+                                  inp, tabs, st, cfg)
+            return jnp.mean((d - target) ** 2)
+        val, (gw, ge) = jax.value_and_grad(loss, argnums=(0, 1))(
+            w, inputs.energies)
+        return val + jnp.sum(gw) + jnp.sum(ge)
+    t_grad = marginal_ms(whole_grad, (0.9 * inputs.spot_weights,), n=4)
+    print(f"WHOLE beam fwd+grad: {t_grad:.2f} ms (backward-only "
+          f"{t_grad - t_fwd:.2f} ms)")
 
 
 if __name__ == "__main__":

@@ -106,6 +106,28 @@ def check_fused_scan(lines):
     assert e_fwd < 1e-5 and rel(gt, rt) < 1e-5 and rel(gpd, rpd) < 1e-5
 
 
+def check_fused_trace_tail(lines):
+    import raytracedicom_tpu.ops.pallas_trace as pt
+    rng = np.random.default_rng(4)
+    for (S, J, D2, I) in [(264, 128, 256, 128), (37, 24, 96, 72)]:
+        B = jnp.asarray(rng.uniform(0, 2000, (S, J, D2)).astype(np.float32))
+        c2 = jnp.asarray(rng.uniform(-3, D2 + 2, (S, I)).astype(np.float32))
+        sl = jnp.asarray(rng.uniform(0.9, 1.2, (J, I)).astype(np.float32))
+        dlut = jnp.asarray(np.cumsum(rng.uniform(0, 1, 300)).astype(np.float32))
+        slut = jnp.asarray(np.cumsum(rng.uniform(0, 1, 170)).astype(np.float32))
+        ds, ss = jnp.float32(0.12), jnp.float32(0.05)
+        want = jax.jit(lambda *a: pt._tail_jnp(*a, 150.0))(
+            B, c2, sl, dlut, ds, slut, ss)
+        got = jax.jit(lambda *a: pt.fused_trace_tail_pallas(*a, 150.0))(
+            B, c2, sl, dlut, ds, slut, ss)
+        e_den, e_csp = rel(got[0], want[0]), rel(got[1], want[1])
+        fi_ok = bool((np.asarray(got[2]) == np.asarray(want[2])).all())
+        fo_ok = bool((np.asarray(got[3]) == np.asarray(want[3])).all())
+        lines.append(f"fused_trace_tail S{S} J{J} D2{D2}: den {e_den:.2e}  "
+                     f"cumsp {e_csp:.2e}  fi=={fi_ok} fo=={fo_ok}")
+        assert e_den < 1e-5 and e_csp < 1e-5 and fi_ok and fo_ok
+
+
 def main():
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -116,6 +138,7 @@ def main():
     check_tent_transpose(lines)
     check_lut(lines)
     check_fused_scan(lines)
+    check_fused_trace_tail(lines)
     lines.append("all checks passed")
     print("\n".join(lines))
 
