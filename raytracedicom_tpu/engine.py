@@ -422,7 +422,8 @@ def compute_beam_dose(
             # either whole bands or inside one band (_ray_shard_info)
             k = jax.lax.axis_index(axis)
             rads_loc = jax.lax.dynamic_slice(
-                rads_g, (0, (k * y_loc) // st), (rads_g.shape[0], n8_loc))
+                rads_g, (0, (k * y_loc) // st, 0),
+                (rads_g.shape[0], n8_loc, rads_g.shape[2]))
             out = superpose_adaptive(idd_loc, rs_loc, rads_loc, max_r, pad)
             return out[None]
 

@@ -158,20 +158,6 @@ class FillResult(NamedTuple):
     nuc_r_sigma_eff: Optional[Array] = None  # (S, Y, X) halo reciprocal sigma [1/spot-pixel]
 
 
-def forward_fill_last_valid(v: Array, valid: Array) -> Array:
-    """res[s] = v[L(s)] with L(s) the last valid index <= s (v[0] carries
-    when none exists): log2(S) associative-scan rounds — far cheaper than a
-    take_along_axis gather on TPU. An analytic segment-sum custom VJP was
-    tried in r3 and measured ~9 ms/beam SLOWER than differentiating the
-    scan, so autodiff handles the adjoint."""
-    def op(a, b):
-        av, am = a
-        bv, bm = b
-        return jnp.where(bm, bv, av), am | bm
-    res, _ = jax.lax.associative_scan(op, (v, valid), axis=0)
-    return res
-
-
 def fill_idd_and_sigma(
     density: Array,          # (S, Y, X) from the tracer
     cumul_sp: Array,         # (S, Y, X) from the tracer
@@ -248,10 +234,46 @@ def fill_idd_and_sigma(
         post = body_live & ~pre
         post_density = jnp.where(post, density, 0.0)
 
-    # all five depth recurrences in one fused sweep (Pallas on TPU); the
-    # air scalars factor out linearly via the mask moments ucb/cub2
-    incinc_after, inc_scat_after, ssp_a, cum_post_density, ucb, cub2 = (
-        fused_depth_scans(tick, post_density, updf))
+    # --- dose per step (kernel_wrapper.cu:314-346) — independent of the
+    # sigma recurrence, so its forward-fill rides the same fused sweep ---
+    cumul_dose = lut2d_scalar_row_fast(cidd, cumul_sp * layer.energy_scale,
+                                       layer.energy_idx)
+    dose_old = jnp.concatenate([jnp.zeros_like(cumul_dose[:1]), cumul_dose[:-1]], axis=0)
+    dose_old = jnp.where(n > first_step, dose_old, 0.0)
+    d_dose = cumul_dose - dose_old
+
+    if dose_to_water:
+        mass = (cumul_sp - cumul_old) * geom.step_vol[:, None, None]
+    else:
+        mass = density * geom.step_vol[:, None, None]
+
+    valid = body_live & (mass > MASS_EPS)
+    # ``res`` carries its previous value across steps whose mass is below the
+    # epsilon (the reference never resets it, kernel_wrapper.cu:343-346):
+    # a "last valid value" forward fill. val[0] is forced to 1 so step 0
+    # needs no special case in the sweep (v is pre-masked to 0 there).
+    validf = valid.astype(f32).at[0].set(1.0)
+    nuclear_on = nuc_weight_tab is not None
+    if nuclear_on:
+        # halo split (kernel_wrapper.cu:320-341): primary dose scaled by
+        # (1 - nucWeight); halo dose per unit spot weight on the coarse
+        # spot grid, divided by the spot/ray area ratio
+        nuc_w = lut2d_scalar_row_fast(
+            nuc_weight_tab, cumul_mid * layer.energy_scale, layer.energy_idx)
+        res_now = (1.0 - nuc_w) * ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
+        sdist = jnp.asarray(spot_dist, f32)
+        nuc_res_now = nuc_w * d_dose / (jnp.where(valid, mass, 1.0) * sdist * sdist)
+        v_fill = jnp.stack([jnp.where(valid, res_now, 0.0),
+                            jnp.where(valid, nuc_res_now, 0.0)])
+    else:
+        res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
+        v_fill = jnp.where(valid, res_now, 0.0)[None]
+
+    # all five depth recurrences + the C forward fills in one fused sweep
+    # (Pallas on TPU); the air scalars factor out linearly via the mask
+    # moments ucb/cub2
+    (incinc_after, inc_scat_after, ssp_a, cum_post_density, ucb, cub2,
+     res_filled) = fused_depth_scans(tick, post_density, updf, v_fill, validf)
     inc_div_prev = inc_div0 + 2.0 * layer.air_quad * ucb
     inc_div_after = inc_div_prev + 2.0 * layer.air_quad * updf
     sigma_sq_pre = (-inc_div0 + ssp_a
@@ -273,43 +295,12 @@ def fill_idd_and_sigma(
     r_sigma_eff = geom.half_vw_sum[:, None, None] / (SQRT2 * sigma)
     r_sigma_eff = jnp.where(out_live, r_sigma_eff, BIG_RSIGMA)
 
-    # --- dose per step (kernel_wrapper.cu:314-346) ---
-    cumul_dose = lut2d_scalar_row_fast(cidd, cumul_sp * layer.energy_scale,
-                                       layer.energy_idx)
-    dose_old = jnp.concatenate([jnp.zeros_like(cumul_dose[:1]), cumul_dose[:-1]], axis=0)
-    dose_old = jnp.where(n > first_step, dose_old, 0.0)
-    d_dose = cumul_dose - dose_old
-
-    if dose_to_water:
-        mass = (cumul_sp - cumul_old) * geom.step_vol[:, None, None]
-    else:
-        mass = density * geom.step_vol[:, None, None]
-
-    valid = body_live & (mass > MASS_EPS)
-    nuclear_on = nuc_weight_tab is not None
-    if nuclear_on:
-        # halo split (kernel_wrapper.cu:320-341): primary dose scaled by
-        # (1 - nucWeight); halo dose per unit spot weight on the coarse
-        # spot grid, divided by the spot/ray area ratio
-        nuc_w = lut2d_scalar_row_fast(
-            nuc_weight_tab, cumul_mid * layer.energy_scale, layer.energy_idx)
-        res_now = (1.0 - nuc_w) * ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
-        sdist = jnp.asarray(spot_dist, f32)
-        nuc_res_now = nuc_w * d_dose / (jnp.where(valid, mass, 1.0) * sdist * sdist)
-    else:
-        res_now = ray_weights[None] * d_dose / jnp.where(valid, mass, 1.0)
-    # ``res`` carries its previous value across steps whose mass is below the
-    # epsilon (the reference never resets it): forward-fill with the "last
-    # valid value" operator.
-    res = forward_fill_last_valid(jnp.where(valid, res_now, 0.0), valid)
-    idd = jnp.where(out_live, res, 0.0)
+    idd = jnp.where(out_live, res_filled[0], 0.0)
 
     nuc_idd_unit = None
     nuc_r_sigma_eff = None
     if nuclear_on:
-        nuc_res = forward_fill_last_valid(
-            jnp.where(valid, nuc_res_now, 0.0), valid)
-        nuc_idd_unit = jnp.where(out_live, nuc_res, 0.0)
+        nuc_idd_unit = jnp.where(out_live, res_filled[1], 0.0)
         nuc_sq = lut2d_scalar_row_fast(
             nuc_sq_sigma_tab, cumul_mid * layer.energy_scale, layer.energy_idx)
         nuc_sigma = jnp.sqrt(jnp.maximum(

@@ -9,12 +9,13 @@ kernel compiled for exactly its radius.
 
 TPU-native restructure of the same idea:
 
-* **Semantic truncation** is per (depth slice, 8-row band): ``sem_radii``
-  reduces the reciprocal sigma over each band (the reference's tile-y
-  granularity) and ``class_round`` rounds the radius up to a small static
-  class set. The band radii — not any execution detail — define which
-  weight taps are kept, so the jnp mirror, the forward kernel, the backward
-  kernel and the sharded overlap-add all truncate identically.
+* **Semantic truncation** is per (depth slice, 8-row band, 32-lane group):
+  ``sem_radii`` reduces the reciprocal sigma over each 32x8 tile (the
+  reference's full tile granularity, kernel_wrapper.cuh:27-28) and
+  ``class_round`` rounds the radius up to a small static class set. The tile
+  radii — not any execution detail — define which weight taps are kept, so
+  the jnp mirror, the forward kernel, the backward kernel and the sharded
+  overlap-add all truncate identically.
 * **Execution** batches (slice, 32-row tile) tasks by radius class, like the
   reference's bucket lists: the host-side XLA prologue sorts the tasks of
   each depth chunk by class (``_exec_buckets``) and the kernel walks each
@@ -44,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 SEM_TY = 8              # truncation band height (reference tile y, kernel_wrapper.cuh:28)
+SEM_TX = 32             # truncation group width (reference tile x, kernel_wrapper.cuh:27)
 _DEAD_RS = 1e8          # reciprocal sigmas above this mark dead rays
 _INV_SQRT_PI = 0.5641895835477563
 
@@ -73,6 +75,10 @@ def sem_tile_rows(ny: int) -> int:
     return SEM_TY if ny % SEM_TY == 0 else ny
 
 
+def sem_tile_cols(nx: int) -> int:
+    return SEM_TX if nx % SEM_TX == 0 else nx
+
+
 def exec_tile_rows(ny: int) -> int:
     for t in (32, 16, 8):
         if ny % t == 0:
@@ -81,13 +87,15 @@ def exec_tile_rows(ny: int) -> int:
 
 
 def sem_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
-    """Per-(slice, 8-row band) superposition radius from the band's minimum
-    reciprocal sigma — the reference's tile formula
-    rad = KS_CUTOFF/(sqrt(2)*minR)+0.5 (kernel_wrapper.cuh:303) at its tile-y
-    granularity; -1 marks an all-dead band."""
+    """Per-(slice, 8-row band, 32-lane group) superposition radius from the
+    tile's minimum reciprocal sigma — the reference's tile formula
+    rad = KS_CUTOFF/(sqrt(2)*minR)+0.5 (kernel_wrapper.cuh:303) at its full
+    32x8 tile granularity; -1 marks an all-dead tile. Returns
+    (S, Y//8, X//32)."""
     S, Y, X = rs.shape
     st = sem_tile_rows(Y)
-    min_rs = jnp.min(rs.reshape(S, Y // st, st, X), axis=(2, 3))
+    sx = sem_tile_cols(X)
+    min_rs = jnp.min(rs.reshape(S, Y // st, st, X // sx, sx), axis=(2, 4))
     rad = (ks_sigma_cutoff / (jnp.sqrt(jnp.asarray(2.0, rs.dtype)) * min_rs)
            + 0.5).astype(jnp.int32)
     rad = jnp.minimum(rad, max_radius)
@@ -103,14 +111,14 @@ def class_round(rads: Array, classes) -> Array:
 
 def effective_sem_radii(rs: Array, ks_sigma_cutoff: float,
                         max_radius: int) -> Array:
-    """The (slice, band) truncation radii the op actually applies."""
+    """The (slice, band, lane-group) truncation radii the op applies."""
     return class_round(sem_radii(rs, ks_sigma_cutoff, max_radius),
                        radius_classes(max_radius))
 
 
 def step_radii(rs: Array, ks_sigma_cutoff: float, max_radius: int) -> Array:
-    """Per-depth-slice radius (the max over the slice's bands; -1 = dead)."""
-    return jnp.max(sem_radii(rs, ks_sigma_cutoff, max_radius), axis=1)
+    """Per-depth-slice radius (the max over the slice's tiles; -1 = dead)."""
+    return jnp.max(sem_radii(rs, ks_sigma_cutoff, max_radius), axis=(1, 2))
 
 
 def _widths(nx: int, pad: int, radius: int):
@@ -133,12 +141,14 @@ def _pick_chunk(n_bufs: int, ny: int, wi: int, pad: int,
 
 
 def _exec_buckets(eff_sem: Array, classes, cz: int, n_exec: int, gpe: int):
-    """Sort each chunk's (slice, exec-tile) tasks by radius class.
+    """Sort each chunk's (slice, exec-tile) tasks by radius class (the tap
+    masks inside the tile body stay lane-group granular; the class only
+    bounds the offset loop, like the reference's next-larger-class batching).
 
     Returns (order (n_chunks, cz*n_exec) task ids sorted dead-first then by
     class, off (n_chunks, n_classes+1) class start offsets)."""
-    S8, n8 = eff_sem.shape
-    exec_rad = jnp.max(eff_sem.reshape(S8, n_exec, gpe), axis=2)
+    S8, n8, nxg = eff_sem.shape
+    exec_rad = jnp.max(eff_sem.reshape(S8, n_exec, gpe * nxg), axis=2)
     cs = jnp.asarray(classes, jnp.int32)
     cls = jnp.searchsorted(cs, exec_rad).astype(jnp.int32)
     cls = jnp.where(exec_rad < 0, -1, cls)
@@ -159,7 +169,8 @@ def _pad_operands(idd, rs, rad_sem, cz, px, wi):
     idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (px, wi - px - X)))
     rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (px, wi - px - X)),
                  constant_values=10.0 * _DEAD_RS)
-    rad_sem = jnp.pad(rad_sem, ((0, s_pad - S), (0, 0)), constant_values=-1)
+    rad_sem = jnp.pad(rad_sem, ((0, s_pad - S), (0, 0), (0, 0)),
+                      constant_values=-1)
     return idd, rs, rad_sem, n_chunks, s_pad
 
 
@@ -187,18 +198,25 @@ def _masked_weights(rs, rge, q, with_derivs=False):
     return (w, dw) if with_derivs else w
 
 
-def _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe):
-    """(ty, 1) per-row truncation radius built from the tile's band scalars."""
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) // st
-    rge = jnp.zeros((ty, 1), jnp.int32)
+def _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe, nxg, px, sx,
+                  wi):
+    """(ty, wi) per-(row, lane) truncation radius built from the exec tile's
+    (band, lane-group) scalars. Lanes outside the data window clip to the
+    edge groups; their padded rs is dead so their weights are ~0 anyway."""
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 0) // st
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 1)
+    xg = jnp.clip((lane - px) // sx, 0, nxg - 1)
+    rge = jnp.zeros((ty, wi), jnp.int32)
     for gi in range(gpe):
-        e_gi = eff_ref[step, s_loc * n8 + t_idx * gpe + gi]
-        rge = jnp.where(rows8 == gi, e_gi, rge)
+        for xi in range(nxg):
+            e = eff_ref[step, (s_loc * n8 + t_idx * gpe + gi) * nxg + xi]
+            rge = jnp.where((rows8 == gi) & (xg == xi), e, rge)
     return rge
 
 
 def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
-                classes, pad, ny, wi, cz, ty, n_exec, n8, st, gpe):
+                classes, pad, ny, wi, cz, ty, n_exec, n8, st, gpe, nxg, px,
+                sx):
     out_ref[:] = jnp.zeros((cz, ny + 2 * pad, wi), d_ref.dtype)
     step = pl.program_id(0)
 
@@ -217,7 +235,8 @@ def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
             y0 = pl.multiple_of(t_idx * ty, 8)
             d = d_ref[s_loc, pl.ds(y0, ty), :]
             rs = rs_ref[s_loc, pl.ds(y0, ty), :]
-            rge = _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe)
+            rge = _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe,
+                                nxg, px, sx, wi)
             w = _masked_weights(rs, rge, q)
             tile_out = jnp.zeros((ty + 2 * qa, wi), d.dtype)
             for ky in range(q + 1):
@@ -244,8 +263,9 @@ def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
 
 def superpose_pallas_raw(idd: Array, rs: Array, rad_sem: Array,
                          radius: int, pad: int) -> Array:
-    """(S, Y, X) -> (S, Y+2*pad, X+2*pad). ``rad_sem`` (S, Y//8) carries the
-    class-rounded per-band truncation radii (see ``effective_sem_radii``)."""
+    """(S, Y, X) -> (S, Y+2*pad, X+2*pad). ``rad_sem`` (S, Y//8, X//32)
+    carries the class-rounded per-tile truncation radii (see
+    ``effective_sem_radii``)."""
     if pad < radius:
         raise ValueError("pad must cover radius")
     S, Y, X = idd.shape
@@ -253,17 +273,18 @@ def superpose_pallas_raw(idd: Array, rs: Array, rad_sem: Array,
     wi, px = _widths(X, pad, radius)
     ty = exec_tile_rows(Y)
     st = sem_tile_rows(Y)
-    n8, n_exec, gpe = Y // st, Y // ty, ty // st
+    sx = sem_tile_cols(X)
+    n8, n_exec, gpe, nxg = Y // st, Y // ty, ty // st, X // sx
     cz = _pick_chunk(2, Y, wi, pad)
     idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
         idd, rs, rad_sem, cz, px, wi)
-    order, off = _exec_buckets(rad_p.reshape(s_pad, n8), classes, cz,
+    order, off = _exec_buckets(rad_p.reshape(s_pad, n8, nxg), classes, cz,
                                n_exec, gpe)
-    eff_p = rad_p.reshape(n_chunks, cz * n8)
+    eff_p = rad_p.reshape(n_chunks, cz * n8 * nxg)
 
     kern = functools.partial(_fwd_kernel, classes=classes, pad=pad, ny=Y,
                              wi=wi, cz=cz, ty=ty, n_exec=n_exec, n8=n8,
-                             st=st, gpe=gpe)
+                             st=st, gpe=gpe, nxg=nxg, px=px, sx=sx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
@@ -284,15 +305,16 @@ def superpose_pallas_raw(idd: Array, rs: Array, rad_sem: Array,
 def superpose_masked_jnp(idd: Array, rs: Array, rad_sem: Array,
                          radius: int, pad: int) -> Array:
     """jnp mirror of the kernel: full-radius offset loop with weights zeroed
-    beyond each (slice, band) radius — the differentiation rule and the CPU
-    fallback (identical truncation)."""
+    beyond each (slice, band, lane-group) radius — the differentiation rule
+    and the CPU fallback (identical truncation)."""
     from .superposition import erf_diff_weights
     S, Y, X = idd.shape
     st = sem_tile_rows(Y)
+    sx = sem_tile_cols(X)
     w = erf_diff_weights(rs, radius)                 # (r+1, S, Y, X)
-    rad_rows = jnp.repeat(rad_sem, st, axis=1)       # (S, Y)
+    rad_pix = jnp.repeat(jnp.repeat(rad_sem, st, axis=1), sx, axis=2)
     ks = jnp.arange(radius + 1)[:, None, None, None]
-    w = jnp.where(ks <= rad_rows[None, :, :, None], w, 0.0)
+    w = jnp.where(ks <= rad_pix[None], w, 0.0)
     out = jnp.zeros((S, Y + 2 * pad, X + 2 * pad), idd.dtype)
     for dy in range(-radius, radius + 1):
         contrib_y = idd * w[abs(dy)]
@@ -305,7 +327,7 @@ def superpose_masked_jnp(idd: Array, rs: Array, rad_sem: Array,
 
 def _bwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, g_ref,
                 gd_ref, grs_ref, *, classes, pad, ny, nx, wi, px, cz, ty,
-                n_exec, n8, st, gpe):
+                n_exec, n8, st, gpe, nxg, sx):
     """Adjoint w.r.t. (idd, rs). Weights live at the SOURCE index, so per
     source tile:
 
@@ -327,7 +349,8 @@ def _bwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, g_ref,
             y0 = pl.multiple_of(t_idx * ty, 8)
             d = d_ref[s_loc, pl.ds(y0, ty), :]
             rs = rs_ref[s_loc, pl.ds(y0, ty), :]
-            rge = _band_eff_rows(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe)
+            rge = _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe,
+                                nxg, px, sx, wi)
             w, dw = _masked_weights(rs, rge, q, with_derivs=True)
             # one aligned dynamic read of the tile's G footprint; per-j
             # windows are then static slices of the value
@@ -365,18 +388,19 @@ def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_sem: Array,
     wi, px = _widths(X, pad, radius)
     ty = exec_tile_rows(Y)
     st = sem_tile_rows(Y)
-    n8, n_exec, gpe = Y // st, Y // ty, ty // st
+    sx = sem_tile_cols(X)
+    n8, n_exec, gpe, nxg = Y // st, Y // ty, ty // st, X // sx
     cz = _pick_chunk(4, Y, wi, pad)
     idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
         idd, rs, rad_sem, cz, px, wi)
     g_p = jnp.pad(g, ((0, s_pad - S), (0, 0), (px - pad, wi - px - pad - X)))
-    order, off = _exec_buckets(rad_p.reshape(s_pad, n8), classes, cz,
+    order, off = _exec_buckets(rad_p.reshape(s_pad, n8, nxg), classes, cz,
                                n_exec, gpe)
-    eff_p = rad_p.reshape(n_chunks, cz * n8)
+    eff_p = rad_p.reshape(n_chunks, cz * n8 * nxg)
 
     kern = functools.partial(_bwd_kernel, classes=classes, pad=pad, ny=Y,
                              nx=X, wi=wi, px=px, cz=cz, ty=ty, n_exec=n_exec,
-                             n8=n8, st=st, gpe=gpe)
+                             n8=n8, st=st, gpe=gpe, nxg=nxg, sx=sx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
@@ -429,7 +453,7 @@ def _sup_bwd(radius, pad, res, g):
 
     idd, rs, rad_sem = res
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
-    rad_steps = jnp.max(rad_sem, axis=1)
+    rad_steps = jnp.max(rad_sem, axis=(1, 2))
 
     def mxu(args):
         a, b, gg = args
@@ -457,8 +481,8 @@ superpose_pallas.defvjp(_sup_fwd, _sup_bwd)
 # one sigma (homogeneous media — the watercube benchmark), per-source
 # bucketed kernel otherwise. The lax.cond predicate is a runtime value, so
 # one compiled program serves both; only the taken branch executes on TPU.
-# On the uniform manifold per-band radii equal the slice radius for every
-# live band (dead bands carry zero dose), so the two branches agree exactly.
+# On the uniform manifold per-tile radii equal the slice radius for every
+# live tile (dead tiles carry zero dose), so the two branches agree exactly.
 # ---------------------------------------------------------------------------
 
 def _superpose_general(idd, rs, rad_sem, radius, pad):
@@ -474,7 +498,7 @@ def superpose_adaptive(idd: Array, rs: Array, rad_sem: Array,
     """(S, Y, X) -> padded slab; picks the MXU or per-source path per call."""
     from .superposition import slice_uniform_rs, superpose_uniform_mxu
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
-    rad_steps = jnp.max(rad_sem, axis=1)
+    rad_steps = jnp.max(rad_sem, axis=(1, 2))
     return jax.lax.cond(
         all_uniform,
         lambda a: superpose_uniform_mxu(a[0], rs_slice, rad_steps, radius, pad),

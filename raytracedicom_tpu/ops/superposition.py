@@ -234,8 +234,9 @@ def superpose_bwd_uniform_mxu(idd: Array, rs_full: Array, rs_slice: Array,
 # ---------------------------------------------------------------------------
 
 def superpose_golden_numpy(idd, r_sigma_eff, radius, pad, rad_rows=None):
-    """``rad_rows`` (S, Y), optional: per-source-row truncation radius (the
-    per-8-row-band semantics of the TPU op); rows with radius < 0 are dead."""
+    """``rad_rows``, optional: per-source truncation radius — (S, Y) for the
+    per-8-row-band semantics or (S, Y, X) for the per-32x8-tile semantics of
+    the TPU op; sources with radius < 0 are dead."""
     from scipy.special import erf
 
     S, Y, X = idd.shape
@@ -243,10 +244,15 @@ def superpose_golden_numpy(idd, r_sigma_eff, radius, pad, rad_rows=None):
     ks = np.arange(radius + 1)
     for s in range(S):
         for y in range(Y):
-            r_y = radius if rad_rows is None else int(rad_rows[s, y])
-            if r_y < 0:
-                continue
             for x in range(X):
+                if rad_rows is None:
+                    r_y = radius
+                elif rad_rows.ndim == 2:
+                    r_y = int(rad_rows[s, y])
+                else:
+                    r_y = int(rad_rows[s, y, x])
+                if r_y < 0:
+                    continue
                 dose = idd[s, y, x]
                 if dose <= 0.0:
                     continue

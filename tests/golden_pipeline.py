@@ -109,24 +109,27 @@ def _step_geometry_np(fan_delta, fan_offset, source_dist, steps):
 
 def _band_radius_rows(rs_slice, ks_cutoff, max_radius):
     """The engine's truncation semantics, transcribed: tileRadCalc's radius
-    formula (kernel_wrapper.cuh:303) per 8-row band, rounded UP to the
+    formula (kernel_wrapper.cuh:303) per 32x8 tile, rounded UP to the
     kernel's static class set (batching sparse classes into the next-larger
-    kernel, kernel_wrapper.cu:968-976). Returns (Y,) per-source-row radii,
-    -1 for rows of an all-dead band."""
+    kernel, kernel_wrapper.cu:968-976). Returns (Y, X) per-source radii,
+    -1 for sources of an all-dead tile."""
     classes = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32]
     classes = sorted({c for c in classes if c < max_radius} | {max_radius})
-    Y = rs_slice.shape[0]
+    Y, X = rs_slice.shape
     st = 8 if Y % 8 == 0 else Y
-    out = np.empty(Y, np.int64)
+    sx = 32 if X % 32 == 0 else X
+    out = np.empty((Y, X), np.int64)
     for b in range(Y // st):
-        min_rs = float(np.min(rs_slice[b * st:(b + 1) * st]))
-        if min_rs > 1e8:
-            rad = -1
-        else:
-            rad = min(int(ks_cutoff / (np.sqrt(2.0) * min_rs) + 0.5),
-                      max_radius)
-            rad = next(c for c in classes if c >= rad)
-        out[b * st:(b + 1) * st] = rad
+        for g in range(X // sx):
+            min_rs = float(np.min(rs_slice[b * st:(b + 1) * st,
+                                           g * sx:(g + 1) * sx]))
+            if min_rs > 1e8:
+                rad = -1
+            else:
+                rad = min(int(ks_cutoff / (np.sqrt(2.0) * min_rs) + 0.5),
+                          max_radius)
+                rad = next(c for c in classes if c >= rad)
+            out[b * st:(b + 1) * st, g * sx:(g + 1) * sx] = rad
     return out
 
 

@@ -93,17 +93,27 @@ def check_fused_scan(lines):
     t = jnp.asarray(rng.standard_normal((S, Y, X)).astype(np.float32))
     pd = jnp.asarray(rng.uniform(0, 1, (S, Y, X)).astype(np.float32))
     u = jnp.asarray((rng.uniform(0, 1, (S, Y, X)) < 0.6).astype(np.float32))
-    want = jax.jit(lambda a, b: psc.fused_depth_scans_jnp(a, b, u))(t, pd)
-    got = jax.jit(lambda a, b: psc._fused_fwd_pallas(a, b, u))(t, pd)
+    v = jnp.asarray(rng.standard_normal((2, S, Y, X)).astype(np.float32))
+    val = (rng.uniform(0, 1, (S, Y, X)) < 0.5).astype(np.float32)
+    val[0] = 1.0
+    val = jnp.asarray(val)
+    want = jax.jit(
+        lambda a, b, c: psc.fused_depth_scans_jnp(a, b, u, c, val))(t, pd, v)
+    got = jax.jit(
+        lambda a, b, c: psc._fused_fwd_pallas(a, b, u, c, val))(t, pd, v)
     e_fwd = max(rel(a, b) for a, b in zip(got, want))
     gs = tuple(jnp.asarray(rng.standard_normal((S, Y, X)).astype(np.float32))
                for _ in range(4))
-    _, vjp = jax.vjp(lambda a, b: psc.fused_depth_scans_jnp(a, b, u), t, pd)
-    rt, rpd = vjp(gs + (jnp.zeros_like(t), jnp.zeros_like(t)))
-    gt, gpd = jax.jit(psc._fused_bwd_pallas)(u, *gs)
+    gv = jnp.asarray(rng.standard_normal((2, S, Y, X)).astype(np.float32))
+    _, vjp = jax.vjp(
+        lambda a, b, c: psc.fused_depth_scans_jnp(a, b, u, c, val), t, pd, v)
+    rt, rpd, rv = vjp(gs + (jnp.zeros_like(t), jnp.zeros_like(t), gv))
+    gt, gpd, gvv = jax.jit(psc._fused_bwd_pallas)(u, val, *gs, gv)
     lines.append(f"fused_depth_scans S{S}: fwd {e_fwd:.2e}  "
-                 f"bwd g_t {rel(gt, rt):.2e}  g_pd {rel(gpd, rpd):.2e}")
-    assert e_fwd < 1e-5 and rel(gt, rt) < 1e-5 and rel(gpd, rpd) < 1e-5
+                 f"bwd g_t {rel(gt, rt):.2e}  g_pd {rel(gpd, rpd):.2e}  "
+                 f"g_v {rel(gvv, rv):.2e}")
+    assert (e_fwd < 1e-5 and rel(gt, rt) < 1e-5 and rel(gpd, rpd) < 1e-5
+            and rel(gvv, rv) < 1e-5)
 
 
 def check_fused_trace_tail(lines):
