@@ -26,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="raytracedicom_tpu",
         description="TPU-native proton pencil-beam dose engine",
+        allow_abbrev=False,
     )
     p.add_argument("--gpu_id", type=int, default=0,
                    help="accepted for reference-CLI parity; device selection "
@@ -55,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv=None):
     parser = build_parser()
-    args, _ = parser.parse_known_args(argv)
+    # Strict parsing: unknown/misspelled flags are an error, matching the
+    # reference's CLI11 behavior (config.cpp:29-45). A silently dropped
+    # --nuclaer=fluka would run the wrong physics.
+    args = parser.parse_args(argv)
     if args.config_file:
         cp = configparser.ConfigParser()
         with open(args.config_file) as f:

@@ -124,7 +124,9 @@ def _pick_cz(ny, nx, n_arrays, vmem_budget=6 * 2 ** 20):
 def _fused_fwd_pallas(t, pd, u, v, val):
     S, Y, X = t.shape
     C = v.shape[0]
-    cz = _pick_cz(Y, X, 9 + 2 * C)
+    # VMEM residents: inputs t, pd, u, val, v(C) plus 6+C outputs = 10+2C
+    # block arrays (the (6+C, Y, X) carry scratch is amortized separately).
+    cz = _pick_cz(Y, X, 10 + 2 * C)
     n_chunks = -(-S // cz)
     s_pad = n_chunks * cz
     if s_pad != S:

@@ -202,7 +202,9 @@ def _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe, nxg, px, sx,
                   wi):
     """(ty, wi) per-(row, lane) truncation radius built from the exec tile's
     (band, lane-group) scalars. Lanes outside the data window clip to the
-    edge groups; their padded rs is dead so their weights are ~0 anyway."""
+    edge groups; that clipped radius is harmless because padded lanes carry
+    zero idd (forward) and ~0 cotangent (backward), not because their
+    weights vanish (for huge padded rs the k=0 erf-difference tap is ~1)."""
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 0) // st
     lane = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 1)
     xg = jnp.clip((lane - px) // sx, 0, nxg - 1)

@@ -127,6 +127,19 @@ def test_cli_watercube_config_file(tmp_path):
     assert args.output_directory == "/x"
 
 
+def test_cli_rejects_unknown_flags():
+    """Misspelled flags must error out like the reference's CLI11
+    (config.cpp:29-45) — a silently dropped --nuclaer=fluka would run the
+    wrong physics."""
+    import pytest
+    from raytracedicom_tpu.cli import parse_args
+    for bad in (["--nuclaer", "fluka"], ["--dose-to-physical"],
+                ["--output_dir", "/x"]):
+        with pytest.raises(SystemExit) as ei:
+            parse_args(bad)
+        assert ei.value.code != 0
+
+
 def test_native_reader_matches_python(tmp_path):
     """The C++ fastdicom path must produce the identical volume + affine as
     the pure-Python parser (skipped when the toolchain is unavailable)."""

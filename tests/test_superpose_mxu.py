@@ -37,7 +37,7 @@ def test_mxu_matches_per_source_on_uniform_slices():
     want = np.asarray(superpose_masked_jnp(idd, rs, rads, RADIUS, PAD))
     rs_slice, all_uniform = slice_uniform_rs(idd, rs)
     assert bool(all_uniform)
-    got = np.asarray(superpose_uniform_mxu(idd, rs_slice, rads.max(axis=1),
+    got = np.asarray(superpose_uniform_mxu(idd, rs_slice, rads.max(axis=(1, 2)),
                                            RADIUS, PAD))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6 * want.max())
 
