@@ -222,6 +222,50 @@ def main():
         return val + jnp.sum(gw) + jnp.sum(ge)
     het_grad_dev_ms = _device_ms(het_grad_scalar, 0.9 * het_inputs.spot_weights)
 
+    # ---- oblique gantry (gantry 30 / couch 15): the reference is
+    # rotation-agnostic through tex3D (kernel_wrapper.cu:130-187); this row
+    # gates the band-walk Pallas gather path (ops/pallas_gather3d.py).
+    # Target: device time <= 2x the axis-aligned watercube device time ----
+    from raytracedicom_tpu.ops import trace as trace_mod
+    obl_ms = obl_dev_ms = None
+    ct2, i2w = plan.watercube_ct()
+    obl_beam = plan.rotate_beam(beam, 30.0, 15.0, i2w, ct_np.shape, steps=512)
+    obl_static = eng.beam_static(obl_beam, ct_np.shape, ct_shape=ct_np.shape)
+    obl_plan = trace_mod.oblique_trace_plan(
+        obl_static.ray_to_im, obl_static.grid.ray_dims, obl_beam.steps,
+        ct_np.shape)
+    if obl_plan is not None:
+        obl_kernel = eng._kernel(obl_static)
+        obl_inputs = BeamInputs(
+            spot_weights=jnp.asarray(obl_beam.spot_weights),
+            energies=jnp.asarray(obl_beam.energies),
+            spot_sigmas=jnp.asarray(obl_beam.spot_sigmas),
+        )
+
+        def obl_forward():
+            dose = jnp.zeros(obl_static.dose_shape, jnp.float32)
+            return float(jnp.max(obl_kernel(ct, dose, obl_inputs,
+                                            eng.table_arrays)))
+
+        obl_mx = obl_forward()
+        assert np.isfinite(obl_mx) and obl_mx > 0, f"bad oblique max {obl_mx}"
+        obl_forward()
+        obl_ms, obl_times = _median_ms(obl_forward)
+
+        def obl_fwd_scalar(w):
+            dose0 = jnp.zeros(obl_static.dose_shape, jnp.float32)
+            inp = BeamInputs(spot_weights=w, energies=obl_inputs.energies,
+                             spot_sigmas=obl_inputs.spot_sigmas)
+            return jnp.max(compute_beam_dose(ct, dose0, inp, eng.table_arrays,
+                                             obl_static, cfg))
+        obl_dev_ms = _device_ms(obl_fwd_scalar, obl_inputs.spot_weights)
+        print(f"# oblique fwd trials: {[round(t, 2) for t in obl_times]}, "
+              f"dose max {obl_mx:.4g}, z_window {obl_static.z_window}",
+              file=sys.stderr)
+    else:
+        print("# oblique: no band plan for this geometry (skipped)",
+              file=sys.stderr)
+
     n_layers, sy, sx = np.asarray(beam.spot_weights).shape
     beamlets = n_layers * sy * sx
     nrx, nry = static.grid.ray_dims
@@ -253,6 +297,12 @@ def main():
         "hetero_device_ms_per_beam": round(het_dev_ms, 2),
         "hetero_grad_device_ms": round(het_grad_dev_ms, 2),
         "hetero_grad_fwd_device_ratio": round(het_grad_dev_ms / het_dev_ms, 3),
+        "oblique_forward_ms_per_beam":
+            None if obl_ms is None else round(obl_ms, 2),
+        "oblique_device_ms_per_beam":
+            None if obl_dev_ms is None else round(obl_dev_ms, 2),
+        "oblique_vs_axis_device_ratio":
+            None if obl_dev_ms is None else round(obl_dev_ms / fwd_dev_ms, 3),
         "n_devices": len(jax.devices()),
     }))
 

@@ -120,8 +120,45 @@ class BeamStatic:
     nuc_bbox_max: Optional[Tuple[int, int, int]] = None
 
 
+def _entry_spread_steps(ray_to_im: FanFromIdxTransform, ray_dims, steps,
+                        ct_shape) -> int:
+    """Geometric bound on the spread of patient-entry depths across the fan
+    (in tracer steps): per-ray slab intersection of the ray with the CT
+    box. Zero for a face-on axis-aligned beam (every ray enters the same
+    plane); ~lateral_extent*tan(obliquity) for rotated gantries — the
+    live-depth window must cover entry spread + Bragg range, or late-
+    entering rays lose their distal dose (VERDICT r4 item 1 wiring)."""
+    start, inc, _ = (np.asarray(a, np.float64)
+                     for a in trace.ray_start_inc(ray_to_im, ray_dims))
+    zd, yd, xd = ct_shape
+    dims = np.array([xd - 1, yd - 1, zd - 1], np.float64)
+    t_lo = np.zeros(start.shape[:2])
+    t_hi = np.full(start.shape[:2], float(steps - 1))
+    for a in range(3):
+        ia = inc[..., a]
+        sa = start[..., a]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0 = (0.0 - sa) / ia
+            t1 = (dims[a] - sa) / ia
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        para = np.abs(ia) < 1e-12
+        inside = (sa >= 0.0) & (sa <= dims[a])
+        lo = np.where(para, np.where(inside, -np.inf, np.inf), lo)
+        hi = np.where(para, np.where(inside, np.inf, -np.inf), hi)
+        t_lo = np.maximum(t_lo, lo)
+        t_hi = np.minimum(t_hi, hi)
+    valid = t_hi >= t_lo
+    if not valid.any():
+        return 0
+    ent = np.clip(t_lo[valid], 0.0, float(steps - 1))
+    return int(np.ceil(float(ent.max() - ent.min())))
+
+
 def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
-                           dose_shape: Tuple[int, int, int]) -> BeamStatic:
+                           dose_shape: Tuple[int, int, int],
+                           ct_shape: Optional[Tuple[int, int, int]] = None) -> BeamStatic:
+    ct_shape = tuple(ct_shape or dose_shape)
     grid = compute_ray_grid(beam, cfg.conv_sigma_cutoff, cfg.superp_tile)
     ray_to_im = FanFromIdxTransform(
         grid.ray_idx_to_gantry(),
@@ -145,10 +182,14 @@ def precompute_beam_static(beam: Beam, tables, cfg: EngineConfig,
     )
     pad = cfg.max_superp_radius
 
-    # live-depth window: from patient entry to the deepest possible Bragg
-    # cutoff, with 25% margin for slow WEPL accrual; clamped to the trace
+    # live-depth window: from the earliest patient entry to the deepest
+    # possible Bragg cutoff, with 25% margin for slow WEPL accrual plus the
+    # fan's entry-depth spread (oblique gantries enter the volume at
+    # laterally-varying depths); clamped to the trace
     z_window = int(np.ceil(cfg.bp_depth_cutoff * max_peak
                            / abs(grid.ray_res[2]) * 1.25))
+    z_window += _entry_spread_steps(ray_to_im, grid.ray_dims, beam.steps,
+                                    ct_shape)
     z_window = min(beam.steps, -(-z_window // cfg.superp_chunk_z) * cfg.superp_chunk_z)
 
     bbox_min, bbox_max = transfer.dose_bbox(
@@ -511,7 +552,7 @@ def compute_beam_dose(
     if rsh is None:
         dose = transfer.transfer_bev_to_dose(
             dose, bev_dose, static.d2f, static.bbox_min, static.bbox_max,
-            z_shift=-z0.astype(ct.dtype),
+            z_shift=-z0.astype(ct.dtype), shift_span=(S - W, 0),
         )
     else:
         # overlap-add: each shard transfers its local slab (global padded
@@ -524,6 +565,7 @@ def compute_beam_dose(
             vals = transfer.transfer_vals(
                 bev_loc[0], static.d2f, static.bbox_min, static.bbox_max,
                 z_shift=zsh, y_shift=(-k * y_loc).astype(ct.dtype),
+                shift_span=(S - W, nry - y_loc),
             )
             return jax.lax.psum(vals, axis)
 
@@ -538,6 +580,7 @@ def compute_beam_dose(
         dose = transfer.transfer_bev_to_dose(
             dose, nuc_dose, static.nuc_d2f, static.nuc_bbox_min,
             static.nuc_bbox_max, z_shift=-z0.astype(ct.dtype),
+            shift_span=(S - W, 0),
         )
     return dose
 
@@ -580,8 +623,9 @@ class DoseEngine:
         self.table_arrays = TableArrays.from_tables(tables)
         self._kernels = {}
 
-    def beam_static(self, beam: Beam, dose_shape) -> BeamStatic:
-        return precompute_beam_static(beam, self.tables, self.cfg, dose_shape)
+    def beam_static(self, beam: Beam, dose_shape, ct_shape=None) -> BeamStatic:
+        return precompute_beam_static(beam, self.tables, self.cfg, dose_shape,
+                                      ct_shape=ct_shape)
 
     def _kernel(self, static: BeamStatic):
         key = _static_key(static)
@@ -633,7 +677,7 @@ class DoseEngine:
         dose_shape = tuple(dose_shape or ct.shape)
         dose = jnp.zeros(dose_shape, ct.dtype)
         for beam in beams:
-            static = self.beam_static(beam, dose_shape)
+            static = self.beam_static(beam, dose_shape, ct_shape=ct.shape)
             inputs = BeamInputs(
                 spot_weights=jnp.asarray(beam.spot_weights),
                 energies=jnp.asarray(beam.energies),

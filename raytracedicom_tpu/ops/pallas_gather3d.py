@@ -233,8 +233,9 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
 def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
                    c0_ref, c1_ref, c2_ref, vol_ref, out_ref, win, sem, *,
                    wz, wy, wzt, kw, off_k, d0, d1, d2, d2p, tiles, groups):
-    z0 = tab_ref[0, 0]
-    y0 = tab_ref[0, 1]
+    b = pl.program_id(0)
+    z0 = tab_ref[b, 0]
+    y0 = tab_ref[b, 1]
     dma = pltpu.make_async_copy(
         vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), :], win, sem
     )
@@ -261,9 +262,9 @@ def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
         hi0, lo0 = ix0 // LANES, ix0 % LANES
         hi1, lo1 = ix1 // LANES, ix1 % LANES
 
-        yb_b = ybb_ref[0, t]
-        yb_s = ybs_ref[0, t]
-        zt = zt_ref[0, t]
+        yb_b = ybb_ref[b, t]
+        yb_s = ybs_ref[b, t]
+        zt = zt_ref[b, t]
 
         def plane(dz, acc):
             zab = zt + dz
@@ -275,28 +276,44 @@ def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
             # out-of-volume planes must never match (border-zero): the
             # band iteration may step past the volume edge
             wzv = jnp.where((zab >= 0) & (zab <= d0 - 1), wzv, 0.0)
-            for k in range(kw):
-                yab = ybi + k
-                yrel = jnp.clip(yab - y0, 0, wy - 1)
-                wyv = (jnp.where(iy == yab, 1.0 - fy, 0.0)
-                       + jnp.where(iy == yab - 1, fy, 0.0))
-                wyv = jnp.where((yab >= 0) & (yab <= d1 - 1), wyv, 0.0)
-                w = wzv * wyv
-                row = win[zrel, pl.ds(yrel, 1), :]              # (1, d2p)
-                v0 = jnp.zeros((TILE, LANES), f32)
-                v1 = jnp.zeros((TILE, LANES), f32)
-                for g in range(groups):
-                    seg = jnp.broadcast_to(
-                        row[:, g * LANES:(g + 1) * LANES], (TILE, LANES)
-                    )
-                    v0 = jnp.where(hi0 == g,
-                                   jnp.take_along_axis(seg, lo0, axis=1), v0)
-                    v1 = jnp.where(hi1 == g,
-                                   jnp.take_along_axis(seg, lo1, axis=1), v1)
-                v0 = jnp.where(in0, v0, 0.0)
-                v1 = jnp.where(in1, v1, 0.0)
-                acc = acc + (v0 + (v1 - v0) * fx) * w
-            return acc
+
+            def do_plane(acc):
+                for k in range(kw):
+                    yab = ybi + k
+                    yrel = jnp.clip(yab - y0, 0, wy - 1)
+                    wyv = (jnp.where(iy == yab, 1.0 - fy, 0.0)
+                           + jnp.where(iy == yab - 1, fy, 0.0))
+                    wyv = jnp.where((yab >= 0) & (yab <= d1 - 1), wyv, 0.0)
+                    w = wzv * wyv
+
+                    def do_row(acc, w=w, yrel=yrel):
+                        row = win[zrel, pl.ds(yrel, 1), :]      # (1, d2p)
+                        v0 = jnp.zeros((TILE, LANES), f32)
+                        v1 = jnp.zeros((TILE, LANES), f32)
+                        for g in range(groups):
+                            seg = jnp.broadcast_to(
+                                row[:, g * LANES:(g + 1) * LANES],
+                                (TILE, LANES))
+                            v0 = jnp.where(
+                                hi0 == g,
+                                jnp.take_along_axis(seg, lo0, axis=1), v0)
+                            v1 = jnp.where(
+                                hi1 == g,
+                                jnp.take_along_axis(seg, lo1, axis=1), v1)
+                        v0 = jnp.where(in0, v0, 0.0)
+                        v1 = jnp.where(in1, v1, 0.0)
+                        return acc + (v0 + (v1 - v0) * fx) * w
+
+                    # the band overshoots for most (plane, row) visits
+                    # (only ~2 rows per lane match); skip the loads/gathers
+                    acc = jax.lax.cond(jnp.max(w) > 0.0, do_row,
+                                       lambda a: a, acc)
+                return acc
+
+            # whole-plane skip: out-of-beam tiles (K6 corners) and the
+            # wzt margin planes match nothing
+            return jax.lax.cond(jnp.max(wzv) > 0.0, do_plane,
+                                lambda a: a, acc)
 
         acc = jax.lax.fori_loop(0, wzt, plane, jnp.zeros((TILE, LANES), f32))
         out_ref[t * TILE:(t + 1) * TILE, :] = acc
@@ -436,21 +453,22 @@ def _gather_pallas_shifted(vol, c0, c1, c2, plan, z0_tbl, y0_tbl):
         off_k=plan.off_k, d0=d0, d1=plan.d1, d2=d2, d2p=d2p, tiles=nt,
         groups=d2p // LANES,
     )
-    blk = pl.BlockSpec((tr, LANES), lambda b: (b, 0),
+    blk = pl.BlockSpec((tr, LANES), lambda b, *refs: (b, 0),
                        memory_space=pltpu.VMEM)
-    smem = lambda w: pl.BlockSpec((1, w), lambda b: (b, 0),
-                                  memory_space=pltpu.SMEM)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((plan.r_pad, LANES), f32),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,           # tab, ybb, ybs, ztt live in SMEM
         grid=(plan.nb,),
-        in_specs=[smem(2), smem(nt), smem(nt), smem(nt), blk, blk, blk,
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[blk, blk, blk, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=blk,
         scratch_shapes=[
             pltpu.VMEM((plan.wz, plan.wy, d2p), f32),
             pltpu.SemaphoreType.DMA,
         ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((plan.r_pad, LANES), f32),
+        grid_spec=grid_spec,
     )(tab, ybb, ybs, ztt, c0, c1, c2, vol)
 
 
@@ -510,10 +528,10 @@ def pack_lattice_coords(pos: np.ndarray):
         (S, J, I, nc, Jp)
 
 
-def pack_lattice_coords_jnp(pos: Array, info) -> Tuple[Array, Array, Array]:
+def pack_lattice_coords_jnp(pos: Array, info, perm) -> Tuple[Array, Array, Array]:
     """Traced mirror of pack_lattice_coords for (S, J, I, 3) jnp coords:
-    returns the three (R, LANES) channel arrays matching the host packing
-    (same extrapolation/duplication)."""
+    returns the three (R, LANES) channel arrays in ``perm`` order, matching
+    the host packing (same duplication)."""
     S, J, I, nc, Jp = info
     Ip = nc * LANES
     if Ip != I:
@@ -526,7 +544,7 @@ def pack_lattice_coords_jnp(pos: Array, info) -> Tuple[Array, Array, Array]:
             axis=1)
     rows = pos.reshape(S, Jp, nc, LANES, 3).transpose(2, 0, 1, 3, 4)
     rows = rows.reshape(nc * S * Jp, LANES, 3)
-    return rows[..., 0], rows[..., 1], rows[..., 2]
+    return rows[..., perm[0]], rows[..., perm[1]], rows[..., perm[2]]
 
 
 def unpack_lattice_rows(rows: Array, info) -> Array:

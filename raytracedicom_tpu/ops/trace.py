@@ -142,10 +142,33 @@ def trace_density_and_sp(
                                 taps=taps_from_scales(scales))
     else:
         start, inc, step_len = ray_start_inc(t, ray_dims)
-        kk = jnp.arange(steps, dtype=start.dtype)
-        # (S, Y, X, 3) sample positions at voxel centres
-        pos = start[None] + kk[:, None, None, None] * inc[None]
-        hu = trilinear_border(ct_vol, pos)                      # (S, Y, X)
+        obl = None
+        from .pallas_gather3d import force_oblique
+        if on_tpu() or force_oblique():
+            obl = oblique_trace_plan(t, ray_dims, steps, ct_vol.shape)
+        if obl is not None:
+            # general-angle fast path: band-walk Pallas gather over the
+            # oblique fan lattice (tex3D along any direction,
+            # kernel_wrapper.cu:151-184) — see ops/pallas_gather3d.py
+            from .pallas_gather3d import (
+                oblique_gather, pack_lattice_coords_jnp, unpack_lattice_rows,
+            )
+            plan3, info = obl
+            # the tiny traced zero keeps the (S,Y,X,3) lattice a runtime
+            # computation instead of a 100 MB compile-time constant
+            tz = ct_vol.ravel()[0] * 0
+            kk = jnp.arange(steps, dtype=start.dtype) + tz
+            pos = start[None] + kk[:, None, None, None] * inc[None]
+            pos = pos[..., ::-1]                    # channels -> (z, y, x)
+            cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
+            rows = oblique_gather(jnp.transpose(ct_vol, plan3.perm),
+                                  cc0, cc1, cc2, plan3)
+            hu = unpack_lattice_rows(rows, info)
+        else:
+            kk = jnp.arange(steps, dtype=start.dtype)
+            # (S, Y, X, 3) sample positions at voxel centres
+            pos = start[None] + kk[:, None, None, None] * inc[None]
+            hu = trilinear_border(ct_vol, pos)                  # (S, Y, X)
     density = lut1d_fast(density_lut, hu * density_scale)
     sp = lut1d_fast(sp_lut, hu * sp_scale)
     cumul_sp = jnp.cumsum(sp * step_len[None], axis=0)
@@ -166,6 +189,25 @@ def trace_density_and_sp(
         first_outside=first_outside,
         step_len=step_len,
     )
+
+
+def oblique_trace_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
+                       steps: int, vol_shape):
+    """Host plan for the general-angle K1 gather: build the (S, Y, X, 3)
+    sample lattice in float32 numpy (the same closed forms the traced path
+    evaluates) and measure the gather windows on it. Returns
+    (ObliquePlan, pack info) or None (fall back to the XLA gather)."""
+    from .pallas_gather3d import pack_lattice_coords, plan_oblique
+
+    start, inc, _ = (np.asarray(a, np.float32) for a in
+                     ray_start_inc(t, ray_dims))
+    kk = np.arange(steps, dtype=np.float32)
+    pos = start[None] + kk[:, None, None, None] * inc[None]
+    rows, info = pack_lattice_coords(pos[..., ::-1])    # channels (z, y, x)
+    plan3 = plan_oblique(rows, tuple(vol_shape))
+    if plan3 is None:
+        return None
+    return plan3, info
 
 
 # ---------------------------------------------------------------------------

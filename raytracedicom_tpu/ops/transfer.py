@@ -63,6 +63,46 @@ def dose_bbox(
     return (x0, y0, z0), (x1, y1, z1)
 
 
+def oblique_transfer_plan(dose_idx_to_fan_idx: FanToIdxTransform,
+                          bbox_min, bbox_max, bev_shape,
+                          shift_span: Tuple[int, int] = (0, 0)):
+    """Host plan for the general-angle K6 gather: build the dose-bbox ->
+    fan-index lattice in float32 numpy (mirroring apply_fan_to_idx) and
+    measure the gather windows on it. ``shift_span`` widens the window
+    sizing by the maximum traced shift magnitude along the BEV (k, j) axes
+    (the -beamFirstInside depth origin / the sharded row origin), so the
+    slid windows stay covering. Returns (ObliquePlan, pack info) or None."""
+    from .pallas_gather3d import pack_lattice_coords, plan_oblique
+
+    t = dose_idx_to_fan_idx
+    m = np.asarray(t.im_idx_to_gantry.m, np.float32)
+    v = np.asarray(t.im_idx_to_gantry.v, np.float32)
+    sd = np.asarray(t.source_dist, np.float32)
+    delta = np.asarray(t.fan_to_fan_idx.delta, np.float32)
+    off = np.asarray(t.fan_to_fan_idx.offset, np.float32)
+    (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
+    xs = np.arange(x0, x1 + 1, dtype=np.float32)
+    ys = np.arange(y0, y1 + 1, dtype=np.float32)
+    zs = np.arange(z0, z1 + 1, dtype=np.float32)
+    gz, gy, gx = np.meshgrid(zs, ys, xs, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1)
+    gant = pts @ m.T + v
+    div_x = np.float32(1.0) if np.isinf(sd[0]) else 1.0 - gant[..., 2] / sd[0]
+    div_y = np.float32(1.0) if np.isinf(sd[1]) else 1.0 - gant[..., 2] / sd[1]
+    ci = (gant[..., 0] / div_x) * delta[0] + off[0]
+    cj = (gant[..., 1] / div_y) * delta[1] + off[1]
+    ck = gant[..., 2] * delta[2] + off[2]
+    pos = np.stack([ck, cj, ci], axis=-1).astype(np.float32)
+    rows, info = pack_lattice_coords(pos)
+    span = (bev_shape[0] + int(shift_span[0]),
+            bev_shape[1] + int(shift_span[1]), bev_shape[2])
+    plan3 = plan_oblique(rows, tuple(bev_shape), span_dims=span,
+                         vmem_budget=5 * 2 ** 20)
+    if plan3 is None:
+        return None
+    return plan3, info
+
+
 def transfer_vals(
     bev_dose: Array,               # (S, Yp, Xp) padded BEV dose slab
     dose_idx_to_fan_idx: FanToIdxTransform,
@@ -70,6 +110,7 @@ def transfer_vals(
     bbox_max: Tuple[int, int, int],
     z_shift: Array = None,
     y_shift: Array = None,
+    shift_span: Tuple[int, int] = (0, 0),
 ) -> Array:
     """Resampled BEV dose over the static bbox, (nz, ny, nx).
 
@@ -77,7 +118,8 @@ def transfer_vals(
     -beamFirstInside shift, kernel_wrapper.cu:1181-1183); ``y_shift`` a
     traced lateral fan origin — used by the ray-sharded overlap-add path,
     where each shard's slab covers padded rows [k*Yloc, k*Yloc + Yloc + 2pad)
-    of the global slab (y_shift = -k*Yloc).
+    of the global slab (y_shift = -k*Yloc). ``shift_span`` bounds the shift
+    magnitudes for the oblique-kernel window planning.
     """
     from .resample import fan_to_idx_plan, separable_resample, taps_from_scales
 
@@ -91,6 +133,37 @@ def transfer_vals(
         c0, c1, c2 = make_coords()
         return separable_resample(bev_dose, c0 + zshift, c1 + yshift, c2,
                                   taps=taps_from_scales(scales))
+
+    from .pallas_gather3d import force_oblique
+    from .pallas_lut import on_tpu
+    obl = None
+    if on_tpu() or force_oblique():
+        obl = oblique_transfer_plan(dose_idx_to_fan_idx, bbox_min, bbox_max,
+                                    bev_dose.shape, shift_span)
+    if obl is not None:
+        # general-angle fast path (nucTransfDiv/primTransfDiv at arbitrary
+        # rotation, kernel_wrapper.cu:69-128) — see ops/pallas_gather3d.py
+        from .pallas_gather3d import (
+            oblique_gather_shifted, pack_lattice_coords_jnp,
+            unpack_lattice_rows,
+        )
+        plan3, info = obl
+        tz = bev_dose.ravel()[0] * 0
+        xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
+        ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
+        zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)
+        gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+        pts = jnp.stack([gx, gy, gz], axis=-1)       # (nz, ny, nx, 3) (x,y,z)
+        fan = apply_fan_to_idx(dose_idx_to_fan_idx, pts)
+        pos = fan[..., ::-1] + tz                    # channels -> (k, j, i)
+        cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
+        sv = (zshift, yshift, jnp.zeros_like(zshift))
+        s0, s1, s2 = (sv[plan3.perm[0]], sv[plan3.perm[1]], sv[plan3.perm[2]])
+        rows = oblique_gather_shifted(
+            jnp.transpose(bev_dose, plan3.perm), cc0, cc1, cc2, s0, s1, s2,
+            plan3)
+        return unpack_lattice_rows(rows, info)       # (nz, ny, nx)
+
     xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
     ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
     zs = jnp.arange(z0, z1 + 1, dtype=bev_dose.dtype)
@@ -110,6 +183,7 @@ def transfer_bev_to_dose(
     bbox_min: Tuple[int, int, int],
     bbox_max: Tuple[int, int, int],
     z_shift: Array = None,
+    shift_span: Tuple[int, int] = (0, 0),
 ) -> Array:
     """Accumulate the resampled BEV dose into ``dose`` over the static bbox.
 
@@ -120,5 +194,5 @@ def transfer_bev_to_dose(
     """
     (x0, y0, z0), (x1, y1, z1) = bbox_min, bbox_max
     vals = transfer_vals(bev_dose, dose_idx_to_fan_idx, bbox_min, bbox_max,
-                         z_shift=z_shift)
+                         z_shift=z_shift, shift_span=shift_span)
     return dose.at[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1].add(vals)

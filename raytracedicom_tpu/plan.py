@@ -196,6 +196,61 @@ def patient_ct(seed: int = 0) -> Tuple[np.ndarray, AffineTransform]:
     return vol, im_idx_to_world
 
 
+def rotate_beam(beam: Beam, gantry_deg: float, couch_deg: float,
+                im_idx_to_world: AffineTransform,
+                ct_shape: Tuple[int, int, int],
+                iso_world=(0.0, 0.0, 0.0),
+                dose_idx_to_world: Optional[AffineTransform] = None,
+                steps: Optional[int] = None) -> Beam:
+    """Re-aim a beam at arbitrary gantry/couch angles (IEC 61217 model,
+    dicom/rtplan.gantry_rotation). Rebuilds gantry_to_im_idx /
+    gantry_to_dose_idx as world_to_im ∘ gantry_to_world and re-derives the
+    fan z start so tracing starts just outside the volume along the new
+    axis (the same corner projection rtplan.beam_from_ion_beam uses).
+    Exercises the engine's general-rotation paths (the reference is
+    rotation-agnostic through tex3D, kernel_wrapper.cu:130-187)."""
+    from .dicom.rtplan import gantry_rotation
+
+    rot = gantry_rotation(gantry_deg, couch_deg)
+    iso = np.asarray(iso_world, np.float64)
+    zd, yd, xd = ct_shape
+    corners = np.array([[x, y, z] for x in (0, xd - 1) for y in (0, yd - 1)
+                        for z in (0, zd - 1)], np.float64)
+    m_i2w = np.asarray(im_idx_to_world.m, np.float64)
+    v_i2w = np.asarray(im_idx_to_world.v, np.float64)
+    world = corners @ m_i2w.T + v_i2w
+    gz = (world - iso) @ rot[:, 2]
+    step_len = abs(float(beam.spot_idx_to_gantry.delta[2]))
+    start_z = float(gz.max()) + 2.0 * step_len
+    if steps is None:
+        span = start_z - float(gz.min()) + 2.0 * step_len
+        steps = max(beam.steps, int(-(-span // step_len)))
+
+    m_w2i = np.linalg.inv(m_i2w)
+    gantry_to_im = np_affine(
+        m_w2i @ rot, m_w2i @ (iso - v_i2w)
+    )
+    if dose_idx_to_world is None:
+        gantry_to_dose = gantry_to_im
+    else:
+        m_d = np.linalg.inv(np.asarray(dose_idx_to_world.m, np.float64))
+        v_d = np.asarray(dose_idx_to_world.v, np.float64)
+        gantry_to_dose = np_affine(m_d @ rot, m_d @ (iso - v_d))
+
+    sig = np.asarray(beam.spot_idx_to_gantry.delta, np.float64)
+    sof = np.asarray(beam.spot_idx_to_gantry.offset, np.float64)
+    spot_idx_to_gantry = np_idx(
+        [float(sig[0]), float(sig[1]), -step_len],
+        [float(sof[0]), float(sof[1]), start_z],
+    )
+    return beam._replace(
+        steps=int(steps),
+        spot_idx_to_gantry=spot_idx_to_gantry,
+        gantry_to_im_idx=gantry_to_im,
+        gantry_to_dose_idx=gantry_to_dose,
+    )
+
+
 def watercube_beam(tables, tracer_steps: int = 512,
                    weights: Optional[np.ndarray] = None) -> Beam:
     """The watercube plan: 33x33 spots x 20 layers, energies 118.12..172.51

@@ -97,6 +97,38 @@ def test_full_pipeline_parity():
     assert rate == 1.0, f"gamma 0.5%/0.5mm pass rate {rate:.4f} < 1"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("dose_to_water,nozzle", [
+    (False, True), (True, False), (False, False),
+])
+def test_full_pipeline_parity_modes(dose_to_water, nozzle):
+    """Engine vs oracle for the non-default physics modes: dose-to-medium
+    (DOSE_TO_WATER off — the medium-mass branch, kernel_wrapper.cu:306-312)
+    and no-nozzle (NOZZLE off — zero air-scatter coefficients,
+    fill_idd_and_sigma_params.cu:74-83). The reference ships both as
+    first-class build options (CMakeLists.txt:40-51); the float64 oracle
+    honors them (golden_pipeline.py:235,322), so a transcription error in
+    either branch fails here instead of shipping silently (VERDICT r4
+    Missing #3)."""
+    tables = load_physics_tables(water_cube=True)
+    cfg = EngineConfig(dose_to_water=dose_to_water, nozzle=nozzle)
+    ct, beam = mini_watercube(tables)
+
+    eng = DoseEngine(tables, cfg)
+    got = np.asarray(eng.compute_dose(ct, [beam]), np.float64)
+    want = golden_beam_dose(ct, beam, tables, cfg, ct.shape)
+
+    assert want.max() > 0, "oracle produced zero dose"
+    rel = np.abs(got - want).max() / want.max()
+    assert rel < 5e-4, (
+        f"dose_to_water={dose_to_water} nozzle={nozzle}: "
+        f"max |engine - oracle| = {100 * rel:.3f}% of max")
+    assert abs(got.sum() - want.sum()) / want.sum() < 1e-3
+    # the modes must actually change the dose (the off switches do work)
+    base = golden_beam_dose(ct, beam, tables, EngineConfig(), ct.shape)
+    assert np.abs(base - want).max() / want.max() > 1e-3
+
+
 def test_full_pipeline_parity_distinct_dose_grid():
     """Engine vs oracle with dose_shape != ct.shape and gantry_to_dose_idx
     != gantry_to_im_idx: a 2 mm 48^3 dose grid (vs the 1 mm 96^3 CT) with a
