@@ -16,10 +16,14 @@ the last-inside step) in VMEM scratch across the sequential TPU grid:
   cumul_hu += hu;  first_inside  = #steps with cumul_hu < thr
   inside    = hu > thr;  first_outside = last inside step + 1
 
-The jnp mirror (ops/trace.py's unfused path) is the differentiation rule —
-gradients w.r.t. the CT/LUTs never flow in the optimization loop (spot
-weights and energies do not reach K1), so the backward only serves
-API-completeness and tests.
+Backward: when the caller supplies the pass-3 tent tap count (``taps2``,
+from the separable plan's static scales) the VJP is an analytic TPU-native
+composition — reverse depth cumsum, clamp-aware LUT slopes (the Pallas
+lut_interp machinery) and the banded tent-transpose row gather
+(resample.row_tent) — so d-dose/d-CT runs at kernel speed on TPU instead
+of the XLA scatter adjoint (VERDICT r4 item 8). Without taps2 the jnp
+mirror's VJP is used (CPU fallback / non-affine lattices). Coordinate
+cotangents are zero by the library-wide contract (geometry statics).
 """
 from __future__ import annotations
 
@@ -206,9 +210,9 @@ def _tail_jnp(B, c2, step_len, density_lut, density_scale, sp_lut, sp_scale,
     return density, cumul_sp, first_inside, first_outside
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_trace_tail(B, c2, step_len, density_lut, density_scale, sp_lut,
-                     sp_scale, thr):
+                     sp_scale, thr, taps2=None):
     from .pallas_lut import on_tpu
     if on_tpu():
         return fused_trace_tail_pallas(B, c2, step_len, density_lut,
@@ -218,18 +222,53 @@ def fused_trace_tail(B, c2, step_len, density_lut, density_scale, sp_lut,
 
 
 def _ftt_fwd(B, c2, step_len, density_lut, density_scale, sp_lut, sp_scale,
-             thr):
+             thr, taps2):
     out = fused_trace_tail(B, c2, step_len, density_lut, density_scale,
-                           sp_lut, sp_scale, thr)
+                           sp_lut, sp_scale, thr, taps2)
     return out, (B, c2, step_len, density_lut, density_scale, sp_lut,
                  sp_scale)
 
 
-def _ftt_bwd(thr, res, g):
-    args = res
-    _, vjp = jax.vjp(
-        lambda *a: _tail_jnp(*a, thr)[:2], *args)
-    return vjp(g[:2])
+def _ftt_bwd(thr, taps2, res, g):
+    B, c2, step_len, dlut, dscale, slut, sscale = res
+    if taps2 is None:
+        _, vjp = jax.vjp(lambda *a: _tail_jnp(*a, thr)[:2], *res)
+        grads = vjp((g[0], g[1]))
+        # coordinate cotangents are zero by contract (geometry statics)
+        return (grads[0], jnp.zeros_like(c2)) + grads[2:]
+
+    # analytic TPU-native adjoint (see module docstring): every stage of
+    # the fused tail is linear-or-elementwise in its inputs, so the
+    # transpose composes from the reverse cumsum, the clamp-aware LUT
+    # slopes and the banded tent transpose of the pass-3 row lerp.
+    from .pallas_lut import _lut1d_value_and_slope, lut1d_fast
+    from .resample import row_lerp, row_tent
+
+    g_den = g[0]
+    g_csp = g[1]
+    S, J, D2 = B.shape
+    I = c2.shape[1]
+    coords = jnp.broadcast_to(c2[:, None, :], (S, J, I)).reshape(S * J, I)
+    hu = row_lerp(B.reshape(S * J, D2), coords).reshape(S, J, I)
+
+    g_csum = jnp.cumsum(g_csp[::-1], axis=0)[::-1]          # d/d (sp*sl)
+    g_sp = g_csum * step_len[None]
+    sp_val, sp_slope = _lut1d_value_and_slope(slut, hu * sscale)
+    _, den_slope = _lut1d_value_and_slope(dlut, hu * dscale)
+    g_hu = g_den * den_slope * dscale + g_sp * sp_slope * sscale
+    g_B = row_tent(g_hu.reshape(S * J, I), coords, D2,
+                   taps2).reshape(S, J, D2)
+    g_sl = jnp.sum(g_csum * sp_val, axis=0)
+
+    # table + scale cotangents via the LUT vjp (hu is a closed-over
+    # constant here, so d/d hu is not double-counted; XLA DCEs the table
+    # scatter when the loss does not differentiate tables)
+    _, vjp_d = jax.vjp(lambda t, sc: lut1d_fast(t, hu * sc), dlut, dscale)
+    g_dlut, g_dscale = vjp_d(g_den)
+    _, vjp_s = jax.vjp(lambda t, sc: lut1d_fast(t, hu * sc), slut, sscale)
+    g_slut, g_sscale = vjp_s(g_sp)
+    return (g_B, jnp.zeros_like(c2), g_sl, g_dlut, g_dscale, g_slut,
+            g_sscale)
 
 
 fused_trace_tail.defvjp(_ftt_fwd, _ftt_bwd)

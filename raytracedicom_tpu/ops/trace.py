@@ -128,12 +128,13 @@ def trace_density_and_sp(
         if on_tpu():
             # fused tail: pass 3 + LUTs + cumsums + entry reductions in one
             # Pallas sweep (HBM: read B once, write density/cumul once).
-            # Gradients w.r.t. the CT flow through the jnp-mirror VJP (the
-            # optimization loop never differentiates K1).
+            # taps2 enables the analytic TPU-native VJP (tent transpose),
+            # so d-dose/d-CT stays at kernel speed (pallas_trace._ftt_bwd)
+            taps = taps_from_scales(scales)
             B = separable_pass12(jnp.transpose(ct_vol, perm), c0, c1)
             density, cumul_sp, first_inside, first_outside = fused_trace_tail(
                 B, c2, step_len, density_lut, density_scale, sp_lut, sp_scale,
-                entry_threshold)
+                entry_threshold, None if taps is None else taps[2])
             return TraceResult(
                 density=density, cumul_sp=cumul_sp, first_inside=first_inside,
                 first_outside=first_outside, step_len=step_len,
