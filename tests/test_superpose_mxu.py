@@ -63,6 +63,48 @@ def test_adaptive_dispatch_uniform_and_general():
                                atol=1e-6 * want_h.max())
 
 
+def _hetero_case(seed=4, S=5, Y=16, X=64):
+    rng = np.random.RandomState(seed)
+    idd = rng.uniform(0.0, 2.0, (S, Y, X)).astype(np.float32)
+    idd[idd < 0.3] = 0.0
+    rs = rng.uniform(0.15, 1.6, (S, Y, X)).astype(np.float32)
+    rs[idd == 0.0] = 1e10
+    idd[1] = 0.0
+    rs[1] = 1e10                                   # a fully dead slice
+    return jnp.asarray(idd), jnp.asarray(rs)
+
+
+def test_kernel_interpret_matches_mirror():
+    """The bucketed Pallas forward kernel vs the jnp mirror through the TPU
+    interpreter — CPU-testable guard for kernel restructures (the on-TPU
+    agreement is additionally a committed artifact,
+    tools/pallas_adjoint_check.out)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from raytracedicom_tpu.ops.pallas_superposition import (
+        superpose_bwd_pallas, superpose_pallas_raw,
+    )
+    idd, rs = _hetero_case()
+    rads = effective_sem_radii(rs, 3.0, RADIUS)
+    want = np.asarray(superpose_masked_jnp(idd, rs, rads, RADIUS, PAD))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(superpose_pallas_raw(idd, rs, rads, RADIUS, PAD))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6 * want.max())
+
+    g = jnp.asarray(np.random.RandomState(9).uniform(
+        -1, 1, want.shape).astype(np.float32))
+    wi_ref, wr_ref = jax.vjp(
+        lambda a, b: superpose_masked_jnp(a, b, rads, RADIUS, PAD), idd, rs
+    )[1](g)
+    with pltpu.force_tpu_interpret_mode():
+        gi, gr = superpose_bwd_pallas(idd, rs, g, rads, RADIUS, PAD)
+    np.testing.assert_allclose(
+        np.asarray(gi), np.asarray(wi_ref), rtol=1e-5,
+        atol=1e-5 * float(jnp.abs(wi_ref).max()))
+    np.testing.assert_allclose(
+        np.asarray(gr), np.asarray(wr_ref), rtol=1e-4,
+        atol=1e-5 * float(jnp.abs(wr_ref).max() + 1e-30))
+
+
 def test_adaptive_gradients_are_per_source_on_uniform_input():
     """Even when the MXU branch computes the primal, the VJP must be the
     per-source adjoint (each ray's own d w/d rs), not the gradient of the
