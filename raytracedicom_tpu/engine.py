@@ -129,7 +129,7 @@ def _entry_spread_steps(ray_to_im: FanFromIdxTransform, ray_dims, steps,
     live-depth window must cover entry spread + Bragg range, or late-
     entering rays lose their distal dose (VERDICT r4 item 1 wiring)."""
     start, inc, _ = (np.asarray(a, np.float64)
-                     for a in trace.ray_start_inc(ray_to_im, ray_dims))
+                     for a in trace.np_ray_start_inc(ray_to_im, ray_dims))
     zd, yd, xd = ct_shape
     dims = np.array([xd - 1, yd - 1, zd - 1], np.float64)
     t_lo = np.zeros(start.shape[:2])

@@ -153,7 +153,13 @@ lut_interp.defvjp(_lut_fwd, _lut_bwd)
 
 def on_tpu() -> bool:
     """True when the default backend drives real TPU hardware (the axon
-    tunnel registers as its own platform name)."""
+    tunnel registers as its own platform name). RTD_FORCE_TPU_KERNELS=1
+    overrides to True so the genuine TPU program can be cross-lowered from
+    a CPU host (tests/test_tpu_lowering.py) or run under the Pallas
+    interpreter."""
+    import os
+    if os.environ.get("RTD_FORCE_TPU_KERNELS", "") == "1":
+        return True
     return jax.default_backend() in ("tpu", "axon")
 
 

@@ -192,6 +192,42 @@ def trace_density_and_sp(
     )
 
 
+def np_ray_start_inc(t: FanFromIdxTransform, ray_dims: Tuple[int, int]):
+    """Numpy float32 mirror of ray_start_inc — host planning must stay
+    numpy-pure: under cross-platform lowering (jax.export for "tpu" from a
+    CPU host) eager jnp ops become tracers, and the gather planner needs
+    concrete coordinates."""
+    nx, ny = ray_dims
+    f32 = np.float32
+    delta = np.asarray(t.fan_idx_to_fan.delta, f32)
+    corner = np.asarray(t.fan_idx_to_fan.offset, f32)
+    dist = np.asarray(t.source_dist, f32)
+    m = np.asarray(t.gantry_to_im_idx.m, f32)
+    v = np.asarray(t.gantry_to_im_idx.v, f32)
+    col0, col1, col2 = m[:, 0], m[:, 1], m[:, 2]
+    rdx = f32(0.0) if np.isinf(dist[0]) else f32(1.0) / dist[0]
+    rdy = f32(0.0) if np.isinf(dist[1]) else f32(1.0) / dist[1]
+    coef_i = col0 * delta[0]
+    coef_j = col1 * delta[1]
+    coef_offset = col2 - col0 * corner[0] * rdx - col1 * corner[1] * rdy
+    transl = (v + col2 * corner[2]
+              + col0 * corner[0] * (f32(1.0) - corner[2] * rdx)
+              + col1 * corner[1] * (f32(1.0) - corner[2] * rdy))
+    ii = np.arange(nx, dtype=f32)
+    jj = np.arange(ny, dtype=f32)
+    i_grid = ii[None, :, None]
+    j_grid = jj[:, None, None]
+    start = (i_grid * (coef_i * (f32(1.0) - corner[2] * rdx))
+             + j_grid * (coef_j * (f32(1.0) - corner[2] * rdy)) + transl)
+    inc = (coef_offset - i_grid * (coef_i * rdx)
+           - j_grid * (coef_j * rdy)) * delta[2]
+    dxs = (corner[0] + ii * delta[0]) * rdx
+    dys = (corner[1] + jj * delta[1]) * rdy
+    step_len = np.abs(delta[2]) * np.sqrt(
+        f32(1.0) + dxs[None, :] ** 2 + dys[:, None] ** 2)
+    return start, inc, step_len
+
+
 def oblique_trace_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
                        steps: int, vol_shape):
     """Host plan for the general-angle K1 gather: build the (S, Y, X, 3)
@@ -200,8 +236,7 @@ def oblique_trace_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
     (ObliquePlan, pack info) or None (fall back to the XLA gather)."""
     from .pallas_gather3d import pack_lattice_coords, plan_oblique
 
-    start, inc, _ = (np.asarray(a, np.float32) for a in
-                     ray_start_inc(t, ray_dims))
+    start, inc, _ = np_ray_start_inc(t, ray_dims)
     kk = np.arange(steps, dtype=np.float32)
     pos = start[None] + kk[:, None, None, None] * inc[None]
     rows, info = pack_lattice_coords(pos[..., ::-1])    # channels (z, y, x)
