@@ -556,6 +556,32 @@ def unpack_lattice_rows(rows: Array, info) -> Array:
     return out.reshape(S, J, nc * LANES)[:, :, :I]
 
 
+def plan_lattice_best(pos: np.ndarray, vol_shape,
+                      span_dims=None, vmem_budget: int = 4 * 2 ** 20):
+    """Plan a (S, J, I, 3) lattice trying BOTH tile-row orderings —
+    (s-outer, j-inner) and (j-outer, s-inner) — and keep the cheaper one.
+    The band width kw is driven by the row-to-row drift of the lane line
+    within a tile, which differs strongly between the orderings (e.g. at
+    gantry 30/couch 15 the j-drift is ~4x the s-drift), so this is a
+    measured ~1.5-2x pair-count cut. Returns (plan, info, swapped) or
+    None; ``swapped`` means the caller must transpose (S, J) before
+    packing coords and transpose the unpacked result back."""
+    best = None
+    for swap in (False, True):
+        q = pos if not swap else np.ascontiguousarray(
+            np.swapaxes(pos, 0, 1))
+        rows, info = pack_lattice_coords(q)
+        p = plan_oblique(rows, vol_shape, span_dims, vmem_budget)
+        if p is None:
+            continue
+        cost = (p.r_pad // TILE) * p.pair_count()
+        if best is None or cost < best[3]:
+            best = (p, info, swap, cost)
+    if best is None:
+        return None
+    return best[0], best[1], best[2]
+
+
 def force_oblique() -> bool:
     """Test hook: take the oblique-kernel path off-TPU (tests wrap calls in
     pltpu.force_tpu_interpret_mode())."""

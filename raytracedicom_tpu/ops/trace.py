@@ -154,17 +154,21 @@ def trace_density_and_sp(
             from .pallas_gather3d import (
                 oblique_gather, pack_lattice_coords_jnp, unpack_lattice_rows,
             )
-            plan3, info = obl
+            plan3, info, swapped = obl
             # the tiny traced zero keeps the (S,Y,X,3) lattice a runtime
             # computation instead of a 100 MB compile-time constant
             tz = ct_vol.ravel()[0] * 0
             kk = jnp.arange(steps, dtype=start.dtype) + tz
             pos = start[None] + kk[:, None, None, None] * inc[None]
             pos = pos[..., ::-1]                    # channels -> (z, y, x)
+            if swapped:
+                pos = jnp.swapaxes(pos, 0, 1)
             cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
             rows = oblique_gather(jnp.transpose(ct_vol, plan3.perm),
                                   cc0, cc1, cc2, plan3)
             hu = unpack_lattice_rows(rows, info)
+            if swapped:
+                hu = jnp.swapaxes(hu, 0, 1)
         else:
             kk = jnp.arange(steps, dtype=start.dtype)
             # (S, Y, X, 3) sample positions at voxel centres
@@ -233,17 +237,14 @@ def oblique_trace_plan(t: FanFromIdxTransform, ray_dims: Tuple[int, int],
     """Host plan for the general-angle K1 gather: build the (S, Y, X, 3)
     sample lattice in float32 numpy (the same closed forms the traced path
     evaluates) and measure the gather windows on it. Returns
-    (ObliquePlan, pack info) or None (fall back to the XLA gather)."""
-    from .pallas_gather3d import pack_lattice_coords, plan_oblique
+    (ObliquePlan, pack info, swapped) or None (fall back to the XLA
+    gather)."""
+    from .pallas_gather3d import plan_lattice_best
 
     start, inc, _ = np_ray_start_inc(t, ray_dims)
     kk = np.arange(steps, dtype=np.float32)
     pos = start[None] + kk[:, None, None, None] * inc[None]
-    rows, info = pack_lattice_coords(pos[..., ::-1])    # channels (z, y, x)
-    plan3 = plan_oblique(rows, tuple(vol_shape))
-    if plan3 is None:
-        return None
-    return plan3, info
+    return plan_lattice_best(pos[..., ::-1], tuple(vol_shape))
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,9 @@ def oblique_transfer_plan(dose_idx_to_fan_idx: FanToIdxTransform,
     measure the gather windows on it. ``shift_span`` widens the window
     sizing by the maximum traced shift magnitude along the BEV (k, j) axes
     (the -beamFirstInside depth origin / the sharded row origin), so the
-    slid windows stay covering. Returns (ObliquePlan, pack info) or None."""
-    from .pallas_gather3d import pack_lattice_coords, plan_oblique
+    slid windows stay covering. Returns (ObliquePlan, pack info, swapped)
+    or None."""
+    from .pallas_gather3d import plan_lattice_best
 
     t = dose_idx_to_fan_idx
     m = np.asarray(t.im_idx_to_gantry.m, np.float32)
@@ -93,14 +94,10 @@ def oblique_transfer_plan(dose_idx_to_fan_idx: FanToIdxTransform,
     cj = (gant[..., 1] / div_y) * delta[1] + off[1]
     ck = gant[..., 2] * delta[2] + off[2]
     pos = np.stack([ck, cj, ci], axis=-1).astype(np.float32)
-    rows, info = pack_lattice_coords(pos)
     span = (bev_shape[0] + int(shift_span[0]),
             bev_shape[1] + int(shift_span[1]), bev_shape[2])
-    plan3 = plan_oblique(rows, tuple(bev_shape), span_dims=span,
-                         vmem_budget=5 * 2 ** 20)
-    if plan3 is None:
-        return None
-    return plan3, info
+    return plan_lattice_best(pos, tuple(bev_shape), span_dims=span,
+                             vmem_budget=5 * 2 ** 20)
 
 
 def transfer_vals(
@@ -147,7 +144,7 @@ def transfer_vals(
             oblique_gather_shifted, pack_lattice_coords_jnp,
             unpack_lattice_rows,
         )
-        plan3, info = obl
+        plan3, info, swapped = obl
         tz = bev_dose.ravel()[0] * 0
         xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
         ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
@@ -156,13 +153,18 @@ def transfer_vals(
         pts = jnp.stack([gx, gy, gz], axis=-1)       # (nz, ny, nx, 3) (x,y,z)
         fan = apply_fan_to_idx(dose_idx_to_fan_idx, pts)
         pos = fan[..., ::-1] + tz                    # channels -> (k, j, i)
+        if swapped:
+            pos = jnp.swapaxes(pos, 0, 1)
         cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
         sv = (zshift, yshift, jnp.zeros_like(zshift))
         s0, s1, s2 = (sv[plan3.perm[0]], sv[plan3.perm[1]], sv[plan3.perm[2]])
         rows = oblique_gather_shifted(
             jnp.transpose(bev_dose, plan3.perm), cc0, cc1, cc2, s0, s1, s2,
             plan3)
-        return unpack_lattice_rows(rows, info)       # (nz, ny, nx)
+        vals = unpack_lattice_rows(rows, info)
+        if swapped:
+            vals = jnp.swapaxes(vals, 0, 1)
+        return vals                                  # (nz, ny, nx)
 
     xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
     ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
