@@ -156,8 +156,12 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
         if wz * wy * d2p * 4 <= vmem_budget or tr == 8:
             if wz * wy * d2p * 4 > 2 * vmem_budget:
                 return None
-            z0 = np.clip(zl - _MARGIN, 0, max(d0 - wz, 0)).astype(np.int32)
-            y0 = np.clip(yl - _MARGIN, 0, max(d1 - wy, 0)).astype(np.int32)
+            # UNCLIPPED anchors: traced shifts are added first and the
+            # clip to [0, d - w] happens at run time (shifted_plan_tables)
+            # — clipping here would destroy the anchor of blocks beyond
+            # the volume edge, so sliding them back would miss coverage
+            z0 = (zl - _MARGIN).astype(np.int32)
+            y0 = (yl - _MARGIN).astype(np.int32)
             chosen = (tr, r_pad, nb, wz, wy, z0, y0)
             break
     if chosen is None:
@@ -169,7 +173,9 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
     padt = nt_rows - R
     tz_lo = np.pad(z_lo_r, (0, padt), mode="edge").reshape(-1, TILE).min(axis=1)
     tz_hi = np.pad(z_hi_r, (0, padt), mode="edge").reshape(-1, TILE).max(axis=1)
-    wzt = int(min(wz, (tz_hi - tz_lo).max() + 1 + 2 * _MARGIN))
+    # +2 beyond the margins: the kernel clips its data-derived trip count
+    # to wzt, and its f32 floors may widen the span by one at each end
+    wzt = int(min(wz, (tz_hi - tz_lo).max() + 3 + 2 * _MARGIN))
 
     # --- band width: max deviation of needed rows from the reconstructed
     # band centre, measured on the actual coordinates (vectorized over
@@ -218,6 +224,9 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
     kw = int(k_hi - k_lo + 1 + 2 * _MARGIN)
     if kw > KW_MAX:
         return None
+    # the kernel loads whole bands of height round8(kw); the window must
+    # fit one
+    wy = max(wy, min(d1, -(-kw // 8) * 8))
 
     return ObliquePlan(
         perm=perm, tr=tr, wz=wz, wy=wy, wzt=wzt, kw=kw, off_k=off_k,
@@ -230,17 +239,26 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
-                   c0_ref, c1_ref, c2_ref, vol_ref, out_ref, win, sem, *,
+def _gather_kernel(tab_ref, c0_ref, c1_ref, c2_ref, vol_ref, out_ref, win,
+                   sem, *,
                    wz, wy, wzt, kw, off_k, d0, d1, d2, d2p, tiles, groups):
     b = pl.program_id(0)
-    z0 = tab_ref[b, 0]
-    y0 = tab_ref[b, 1]
-    dma = pltpu.make_async_copy(
-        vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), :], win, sem
-    )
-    dma.start()
-    dma.wait()
+    z0 = tab_ref[0, b]
+    y0 = tab_ref[1, b]
+    # the window is staged group-major — win[g] is the 128-lane group g of
+    # the volume rows — so every in-band row load below is a lane-offset-0
+    # (1, 128) vector (Mosaic rejects dynamically-offset multi-register
+    # row loads/broadcasts: "Invalid input layout")
+    for g in range(groups):
+        pltpu.make_async_copy(
+            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), g, :], win.at[g],
+            sem.at[g],
+        ).start()
+    for g in range(groups):
+        pltpu.make_async_copy(
+            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), g, :], win.at[g],
+            sem.at[g],
+        ).wait()
     f32 = jnp.float32
     for t in range(tiles):
         c0 = c0_ref[t * TILE:(t + 1) * TILE, :]
@@ -262,9 +280,37 @@ def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
         hi0, lo0 = ix0 // LANES, ix0 % LANES
         hi1, lo1 = ix1 // LANES, ix1 % LANES
 
-        yb_b = ybb_ref[b, t]
-        yb_s = ybs_ref[b, t]
-        zt = zt_ref[b, t]
+        # per-tile band scalars from the tile's own coords (the host plan
+        # mirrors this exact float32 arithmetic; margins cover drift)
+        az = c0_ref[t * TILE, 0]
+        ay = c1_ref[t * TILE, 0]
+        gz = (c0_ref[t * TILE, LANES - 1] - az) * (1.0 / (LANES - 1))
+        gy = (c1_ref[t * TILE, LANES - 1] - ay) * (1.0 / (LANES - 1))
+        inv_gz = jnp.where(jnp.abs(gz) > GZ_EPS, 1.0 / gz, 0.0)
+        yb_s = gy * inv_gz
+        yb_b = ay + yb_s * (0.5 - az)
+        # the plane loop runs only over the tile's ACTUAL clipped span —
+        # a traced fori bound, not per-plane predication (vector-reduce
+        # predicates inside the loop cost more than the skipped work);
+        # out-of-volume tiles degenerate to a zero-trip loop
+        iz_lo = jnp.maximum(jnp.min(iz), 0)
+        iz_hi = jnp.minimum(jnp.max(iz) + 1, d0 - 1)
+        zt = jnp.clip(iz_lo - _MARGIN, 0, max(d0 - 1, 0))
+        n_planes = jnp.clip(iz_hi + 1 + _MARGIN - zt, 0, wzt)
+
+        # band block height: whole-band loads per (plane, group) — ONE
+        # dynamic-address VMEM load instead of kw row loads (dynamic loads
+        # and their scalar address chains dominate the plane cost; the
+        # static-row visits below are a few cycles each). Tiny volumes cap
+        # at the window height (base 0 then covers the whole axis).
+        kw8 = min(-(-kw // 8) * 8, wy)
+
+        UNROLL = 4
+
+        def plane4(it, acc):
+            for u in range(UNROLL):
+                acc = plane(it * UNROLL + u, acc)
+            return acc
 
         def plane(dz, acc):
             zab = zt + dz
@@ -276,46 +322,32 @@ def _gather_kernel(tab_ref, ybb_ref, ybs_ref, zt_ref,
             # out-of-volume planes must never match (border-zero): the
             # band iteration may step past the volume edge
             wzv = jnp.where((zab >= 0) & (zab <= d0 - 1), wzv, 0.0)
+            for k in range(kw):
+                yab = ybi + k
+                yrel = jnp.clip(yab - y0, 0, wy - 1)
+                wyv = (jnp.where(iy == yab, 1.0 - fy, 0.0)
+                       + jnp.where(iy == yab - 1, fy, 0.0))
+                wyv = jnp.where((yab >= 0) & (yab <= d1 - 1), wyv, 0.0)
+                w = wzv * wyv
+                v0 = jnp.zeros((TILE, LANES), f32)
+                v1 = jnp.zeros((TILE, LANES), f32)
+                for g in range(groups):
+                    row = win[g, zrel, pl.ds(yrel, 1), :]       # (1, 128)
+                    seg = jnp.broadcast_to(row, (TILE, LANES))
+                    v0 = jnp.where(
+                        hi0 == g,
+                        jnp.take_along_axis(seg, lo0, axis=1), v0)
+                    v1 = jnp.where(
+                        hi1 == g,
+                        jnp.take_along_axis(seg, lo1, axis=1), v1)
+                v0 = jnp.where(in0, v0, 0.0)
+                v1 = jnp.where(in1, v1, 0.0)
+                acc = acc + (v0 + (v1 - v0) * fx) * w
+            return acc
 
-            def do_plane(acc):
-                for k in range(kw):
-                    yab = ybi + k
-                    yrel = jnp.clip(yab - y0, 0, wy - 1)
-                    wyv = (jnp.where(iy == yab, 1.0 - fy, 0.0)
-                           + jnp.where(iy == yab - 1, fy, 0.0))
-                    wyv = jnp.where((yab >= 0) & (yab <= d1 - 1), wyv, 0.0)
-                    w = wzv * wyv
-
-                    def do_row(acc, w=w, yrel=yrel):
-                        row = win[zrel, pl.ds(yrel, 1), :]      # (1, d2p)
-                        v0 = jnp.zeros((TILE, LANES), f32)
-                        v1 = jnp.zeros((TILE, LANES), f32)
-                        for g in range(groups):
-                            seg = jnp.broadcast_to(
-                                row[:, g * LANES:(g + 1) * LANES],
-                                (TILE, LANES))
-                            v0 = jnp.where(
-                                hi0 == g,
-                                jnp.take_along_axis(seg, lo0, axis=1), v0)
-                            v1 = jnp.where(
-                                hi1 == g,
-                                jnp.take_along_axis(seg, lo1, axis=1), v1)
-                        v0 = jnp.where(in0, v0, 0.0)
-                        v1 = jnp.where(in1, v1, 0.0)
-                        return acc + (v0 + (v1 - v0) * fx) * w
-
-                    # the band overshoots for most (plane, row) visits
-                    # (only ~2 rows per lane match); skip the loads/gathers
-                    acc = jax.lax.cond(jnp.max(w) > 0.0, do_row,
-                                       lambda a: a, acc)
-                return acc
-
-            # whole-plane skip: out-of-beam tiles (K6 corners) and the
-            # wzt margin planes match nothing
-            return jax.lax.cond(jnp.max(wzv) > 0.0, do_plane,
-                                lambda a: a, acc)
-
-        acc = jax.lax.fori_loop(0, wzt, plane, jnp.zeros((TILE, LANES), f32))
+        # manual unroll (traced trip count): overshoot planes match nothing
+        acc = jax.lax.fori_loop(0, (n_planes + UNROLL - 1) // UNROLL, plane4,
+                                jnp.zeros((TILE, LANES), f32))
         out_ref[t * TILE:(t + 1) * TILE, :] = acc
 
 
@@ -331,9 +363,8 @@ def _gather_pallas(vol: Array, c0: Array, c1: Array, c2: Array,
                    plan: ObliquePlan) -> Array:
     """Run the oblique gather. ``vol`` and the (R, 128) coordinate channels
     must already be permuted by ``plan.perm``."""
-    return _gather_pallas_shifted(vol, c0, c1, c2, plan,
-                                  jnp.asarray(plan.z0_tbl),
-                                  jnp.asarray(plan.y0_tbl))
+    z0_tbl, y0_tbl = shifted_plan_tables(plan, jnp.int32(0), jnp.int32(0))
+    return _gather_pallas_shifted(vol, c0, c1, c2, plan, z0_tbl, y0_tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -430,46 +461,35 @@ def _gather_pallas_shifted(vol, c0, c1, c2, plan, z0_tbl, y0_tbl):
     c0 = _pad_rows(c0, plan.r_pad)
     c1 = _pad_rows(c1, plan.r_pad)
     c2 = _pad_rows(c2, plan.r_pad)
-    tab = jnp.stack([z0_tbl, y0_tbl], axis=1)
-    r0 = c0[0::TILE, :]
-    r1 = c1[0::TILE, :]
-    az = r0[:, 0]
-    ay = r1[:, 0]
-    gz = (r0[:, LANES - 1] - az) * (1.0 / (LANES - 1))
-    gy = (r1[:, LANES - 1] - ay) * (1.0 / (LANES - 1))
-    inv_gz = jnp.where(jnp.abs(gz) > GZ_EPS, 1.0 / gz, 0.0)
-    yb_s = gy * inv_gz
-    yb_b = ay + yb_s * (0.5 - az)
-    flz_t = jnp.floor(c0).astype(jnp.int32)
-    zt = jnp.min(flz_t.reshape(-1, TILE * LANES), axis=1)
-    zt = jnp.clip(zt - _MARGIN, 0, max(d0 - 1, 0))
-    ybb = yb_b.reshape(plan.nb, nt)
-    ybs = yb_s.reshape(plan.nb, nt)
-    ztt = zt.reshape(plan.nb, nt)
+    # (2, nb): SMEM arrays are padded per ROW, so keep the row count tiny
+    tab = jnp.stack([z0_tbl, y0_tbl], axis=0)
     if d2p != vol.shape[2]:
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, d2p - vol.shape[2])))
+    groups = d2p // LANES
+    # group-major view (free row-major reshape): see _gather_kernel's DMA
+    vol4 = vol.reshape(d0, plan.d1, groups, LANES)
     kern = functools.partial(
         _gather_kernel, wz=plan.wz, wy=plan.wy, wzt=plan.wzt, kw=plan.kw,
         off_k=plan.off_k, d0=d0, d1=plan.d1, d2=d2, d2p=d2p, tiles=nt,
-        groups=d2p // LANES,
+        groups=groups,
     )
     blk = pl.BlockSpec((tr, LANES), lambda b, *refs: (b, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,           # tab, ybb, ybs, ztt live in SMEM
+        num_scalar_prefetch=1,           # the window-start table, in SMEM
         grid=(plan.nb,),
         in_specs=[blk, blk, blk, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=blk,
         scratch_shapes=[
-            pltpu.VMEM((plan.wz, plan.wy, d2p), f32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((groups, plan.wz, plan.wy, LANES), f32),
+            pltpu.SemaphoreType.DMA((groups,)),
         ],
     )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((plan.r_pad, LANES), f32),
         grid_spec=grid_spec,
-    )(tab, ybb, ybs, ztt, c0, c1, c2, vol)
+    )(tab, c0, c1, c2, vol4)
 
 
 def _ogs_fwd(vol, c0, c1, c2, s0, s1, s2, plan):
@@ -558,25 +578,38 @@ def unpack_lattice_rows(rows: Array, info) -> Array:
 
 def plan_lattice_best(pos: np.ndarray, vol_shape,
                       span_dims=None, vmem_budget: int = 4 * 2 ** 20):
-    """Plan a (S, J, I, 3) lattice trying BOTH tile-row orderings —
-    (s-outer, j-inner) and (j-outer, s-inner) — and keep the cheaper one.
-    The band width kw is driven by the row-to-row drift of the lane line
-    within a tile, which differs strongly between the orderings (e.g. at
-    gantry 30/couch 15 the j-drift is ~4x the s-drift), so this is a
-    measured ~1.5-2x pair-count cut. Returns (plan, info, swapped) or
-    None; ``swapped`` means the caller must transpose (S, J) before
-    packing coords and transpose the unpacked result back."""
+    """Plan a (S, J, I, 3) lattice trying all SIX output-axis assignments —
+    which output axis rides the 128 lanes, and the ordering of the two row
+    axes — and keep the measured-cheapest. The kernel's pair count is
+    (per-tile plane span) x (band width): the plane span is dominated by
+    the lane axis's coordinate footprint and the band width by the
+    row-to-row drift, and both vary by multiples between assignments
+    (e.g. at gantry 30/couch 15, lanes along the fan's j axis see ~4x less
+    volume-z span than lanes along i). Returns (plan, info, axes) or
+    None; ``axes`` is the output-axis permutation the caller must apply to
+    the (S, J, I) lattice before packing (lane axis last) and invert on
+    the unpacked result."""
     best = None
-    for swap in (False, True):
-        q = pos if not swap else np.ascontiguousarray(
-            np.swapaxes(pos, 0, 1))
+    for axes in ((0, 1, 2), (1, 0, 2), (0, 2, 1), (2, 0, 1), (1, 2, 0),
+                 (2, 1, 0)):
+        q = np.ascontiguousarray(np.transpose(pos, axes + (3,)))
         rows, info = pack_lattice_coords(q)
         p = plan_oblique(rows, vol_shape, span_dims, vmem_budget)
         if p is None:
             continue
-        cost = (p.r_pad // TILE) * p.pair_count()
+        # average live trip count: the kernel's fori bound is data-derived,
+        # so cost with the measured mean span, not the static max
+        nt_rows = -(-rows.shape[0] // TILE) * TILE
+        c0 = rows[..., p.perm[0]].astype(np.float64)
+        f0 = np.floor(np.pad(c0, ((0, nt_rows - rows.shape[0]), (0, 0)),
+                             mode="edge")).reshape(-1, TILE * LANES)
+        lo = np.clip(f0.min(axis=1), 0, p.d0 - 1)
+        hi = np.clip(f0.max(axis=1) + 1, 0, p.d0 - 1)
+        mean_trip = float(np.clip(hi + 1 + 2 * _MARGIN - np.clip(
+            lo - _MARGIN, 0, p.d0 - 1), 0, p.wzt).mean())
+        cost = (p.r_pad // TILE) * mean_trip * p.kw
         if best is None or cost < best[3]:
-            best = (p, info, swap, cost)
+            best = (p, info, axes, cost)
     if best is None:
         return None
     return best[0], best[1], best[2]

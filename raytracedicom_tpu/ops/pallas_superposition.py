@@ -66,12 +66,8 @@ def radius_classes(max_radius: int):
     """Static radius classes compiled into the kernel. Radii round UP to the
     next class (never truncating below the requested radius), mirroring the
     reference's batching of sparse radius classes into the next-larger
-    kernel (kernel_wrapper.cu:968-976). Dense through 16 where patient-CT
-    radii concentrate — rounding q -> q+2 costs ((q+2)/q)^2 - 1 = ~28% extra
-    taps at q=8, so the extra per-class loop overhead is the cheaper side
-    of the trade (PERF.md bottleneck #2 lever 'tighter class sets')."""
-    base = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
-            18, 20, 22, 24, 28, 32)
+    kernel (kernel_wrapper.cu:968-976)."""
+    base = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32)
     return tuple(sorted({c for c in base if c < max_radius} | {max_radius}))
 
 
@@ -165,15 +161,13 @@ def _exec_buckets(eff_sem: Array, classes, cz: int, n_exec: int, gpe: int):
     return order, off.astype(jnp.int32)
 
 
-def _pad_operands(idd, rs, rad_sem, cz, px, wi, nxp):
-    """Pad depth to a chunk multiple; idd lanes to the roll-safe internal
-    width, rs lanes only to the data width (weights are computed at data
-    width and embedded once per tap — half the per-tile erf work)."""
+def _pad_operands(idd, rs, rad_sem, cz, px, wi):
+    """Pad depth to a chunk multiple and lanes to the internal width."""
     S, Y, X = idd.shape
     n_chunks = -(-S // cz)
     s_pad = n_chunks * cz
     idd = jnp.pad(idd, ((0, s_pad - S), (0, 0), (px, wi - px - X)))
-    rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (0, nxp - X)),
+    rs = jnp.pad(rs, ((0, s_pad - S), (0, 0), (px, wi - px - X)),
                  constant_values=10.0 * _DEAD_RS)
     rad_sem = jnp.pad(rad_sem, ((0, s_pad - S), (0, 0), (0, 0)),
                       constant_values=-1)
@@ -204,18 +198,17 @@ def _masked_weights(rs, rge, q, with_derivs=False):
     return (w, dw) if with_derivs else w
 
 
-def _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe, nxg, sx,
-                  nxp):
-    """(ty, nxp) per-(row, lane) truncation radius built from the exec
-    tile's (band, lane-group) scalars, at data width. Lanes beyond the data
-    window clip to the edge group; that clipped radius is harmless because
-    padded lanes carry zero idd (forward) and ~0 cotangent (backward), not
-    because their weights vanish (for huge padded rs the k=0
-    erf-difference tap is ~1)."""
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, nxp), 0) // st
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ty, nxp), 1)
-    xg = jnp.clip(lane // sx, 0, nxg - 1)
-    rge = jnp.zeros((ty, nxp), jnp.int32)
+def _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe, nxg, px, sx,
+                  wi):
+    """(ty, wi) per-(row, lane) truncation radius built from the exec tile's
+    (band, lane-group) scalars. Lanes outside the data window clip to the
+    edge groups; that clipped radius is harmless because padded lanes carry
+    zero idd (forward) and ~0 cotangent (backward), not because their
+    weights vanish (for huge padded rs the k=0 erf-difference tap is ~1)."""
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 0) // st
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ty, wi), 1)
+    xg = jnp.clip((lane - px) // sx, 0, nxg - 1)
+    rge = jnp.zeros((ty, wi), jnp.int32)
     for gi in range(gpe):
         for xi in range(nxg):
             e = eff_ref[step, (s_loc * n8 + t_idx * gpe + gi) * nxg + xi]
@@ -225,7 +218,7 @@ def _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe, nxg, sx,
 
 def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
                 classes, pad, ny, wi, cz, ty, n_exec, n8, st, gpe, nxg, px,
-                sx, nxp):
+                sx):
     out_ref[:] = jnp.zeros((cz, ny + 2 * pad, wi), d_ref.dtype)
     step = pl.program_id(0)
 
@@ -245,12 +238,8 @@ def _fwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, out_ref, *,
             d = d_ref[s_loc, pl.ds(y0, ty), :]
             rs = rs_ref[s_loc, pl.ds(y0, ty), :]
             rge = _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe,
-                                nxg, sx, nxp)
-            # weights at data width (half the erf work), embedded into the
-            # roll-safe width once per tap (the trimmed tail holds only
-            # dead-padding lanes, whose idd is zero)
-            w = [jnp.pad(wk, ((0, 0), (px, max(0, wi - px - nxp))))[:, :wi]
-                 for wk in _masked_weights(rs, rge, q)]
+                                nxg, px, sx, wi)
+            w = _masked_weights(rs, rge, q)
             tile_out = jnp.zeros((ty + 2 * qa, wi), d.dtype)
             for ky in range(q + 1):
                 base = d * w[ky]
@@ -288,23 +277,22 @@ def superpose_pallas_raw(idd: Array, rs: Array, rad_sem: Array,
     st = sem_tile_rows(Y)
     sx = sem_tile_cols(X)
     n8, n_exec, gpe, nxg = Y // st, Y // ty, ty // st, X // sx
-    nxp = -(-X // 128) * 128
     cz = _pick_chunk(2, Y, wi, pad)
     idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
-        idd, rs, rad_sem, cz, px, wi, nxp)
+        idd, rs, rad_sem, cz, px, wi)
     order, off = _exec_buckets(rad_p.reshape(s_pad, n8, nxg), classes, cz,
                                n_exec, gpe)
     eff_p = rad_p.reshape(n_chunks, cz * n8 * nxg)
 
     kern = functools.partial(_fwd_kernel, classes=classes, pad=pad, ny=Y,
                              wi=wi, cz=cz, ty=ty, n_exec=n_exec, n8=n8,
-                             st=st, gpe=gpe, nxg=nxg, px=px, sx=sx, nxp=nxp)
+                             st=st, gpe=gpe, nxg=nxg, px=px, sx=sx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((cz, Y, nxp), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((cz, Y + 2 * pad, wi), lambda i, *_: (i, 0, 0)),
     )
@@ -341,7 +329,7 @@ def superpose_masked_jnp(idd: Array, rs: Array, rad_sem: Array,
 
 def _bwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, g_ref,
                 gd_ref, grs_ref, *, classes, pad, ny, nx, wi, px, cz, ty,
-                n_exec, n8, st, gpe, nxg, sx, nxp):
+                n_exec, n8, st, gpe, nxg, sx):
     """Adjoint w.r.t. (idd, rs). Weights live at the SOURCE index, so per
     source tile:
 
@@ -364,12 +352,8 @@ def _bwd_kernel(order_ref, off_ref, eff_ref, d_ref, rs_ref, g_ref,
             d = d_ref[s_loc, pl.ds(y0, ty), :]
             rs = rs_ref[s_loc, pl.ds(y0, ty), :]
             rge = _tile_eff_map(eff_ref, step, s_loc, t_idx, ty, st, n8, gpe,
-                                nxg, sx, nxp)
-            w_n, dw_n = _masked_weights(rs, rge, q, with_derivs=True)
-            emb = lambda a: jnp.pad(
-                a, ((0, 0), (px, max(0, wi - px - nxp))))[:, :wi]
-            w = [emb(a) for a in w_n]
-            dw = [emb(a) for a in dw_n]
+                                nxg, px, sx, wi)
+            w, dw = _masked_weights(rs, rge, q, with_derivs=True)
             # one aligned dynamic read of the tile's G footprint; per-j
             # windows are then static slices of the value
             row0 = pl.multiple_of(pad + y0 - qa, 8)
@@ -408,10 +392,9 @@ def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_sem: Array,
     st = sem_tile_rows(Y)
     sx = sem_tile_cols(X)
     n8, n_exec, gpe, nxg = Y // st, Y // ty, ty // st, X // sx
-    nxp = -(-X // 128) * 128
     cz = _pick_chunk(4, Y, wi, pad)
     idd_p, rs_p, rad_p, n_chunks, s_pad = _pad_operands(
-        idd, rs, rad_sem, cz, px, wi, nxp)
+        idd, rs, rad_sem, cz, px, wi)
     g_p = jnp.pad(g, ((0, s_pad - S), (0, 0), (px - pad, wi - px - pad - X)))
     order, off = _exec_buckets(rad_p.reshape(s_pad, n8, nxg), classes, cz,
                                n_exec, gpe)
@@ -419,13 +402,13 @@ def superpose_bwd_pallas(idd: Array, rs: Array, g: Array, rad_sem: Array,
 
     kern = functools.partial(_bwd_kernel, classes=classes, pad=pad, ny=Y,
                              nx=X, wi=wi, px=px, cz=cz, ty=ty, n_exec=n_exec,
-                             n8=n8, st=st, gpe=gpe, nxg=nxg, sx=sx, nxp=nxp)
+                             n8=n8, st=st, gpe=gpe, nxg=nxg, sx=sx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((cz, Y, nxp), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((cz, Y, wi), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((cz, Y + 2 * pad, wi), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=(

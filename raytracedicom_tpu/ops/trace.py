@@ -154,21 +154,19 @@ def trace_density_and_sp(
             from .pallas_gather3d import (
                 oblique_gather, pack_lattice_coords_jnp, unpack_lattice_rows,
             )
-            plan3, info, swapped = obl
+            plan3, info, axes = obl
             # the tiny traced zero keeps the (S,Y,X,3) lattice a runtime
             # computation instead of a 100 MB compile-time constant
             tz = ct_vol.ravel()[0] * 0
             kk = jnp.arange(steps, dtype=start.dtype) + tz
             pos = start[None] + kk[:, None, None, None] * inc[None]
             pos = pos[..., ::-1]                    # channels -> (z, y, x)
-            if swapped:
-                pos = jnp.swapaxes(pos, 0, 1)
+            pos = jnp.transpose(pos, axes + (3,))
             cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
             rows = oblique_gather(jnp.transpose(ct_vol, plan3.perm),
                                   cc0, cc1, cc2, plan3)
-            hu = unpack_lattice_rows(rows, info)
-            if swapped:
-                hu = jnp.swapaxes(hu, 0, 1)
+            hu = jnp.transpose(unpack_lattice_rows(rows, info),
+                               tuple(np.argsort(axes)))
         else:
             kk = jnp.arange(steps, dtype=start.dtype)
             # (S, Y, X, 3) sample positions at voxel centres

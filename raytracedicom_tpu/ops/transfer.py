@@ -144,7 +144,7 @@ def transfer_vals(
             oblique_gather_shifted, pack_lattice_coords_jnp,
             unpack_lattice_rows,
         )
-        plan3, info, swapped = obl
+        plan3, info, axes = obl
         tz = bev_dose.ravel()[0] * 0
         xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
         ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)
@@ -153,18 +153,15 @@ def transfer_vals(
         pts = jnp.stack([gx, gy, gz], axis=-1)       # (nz, ny, nx, 3) (x,y,z)
         fan = apply_fan_to_idx(dose_idx_to_fan_idx, pts)
         pos = fan[..., ::-1] + tz                    # channels -> (k, j, i)
-        if swapped:
-            pos = jnp.swapaxes(pos, 0, 1)
+        pos = jnp.transpose(pos, axes + (3,))
         cc0, cc1, cc2 = pack_lattice_coords_jnp(pos, info, plan3.perm)
         sv = (zshift, yshift, jnp.zeros_like(zshift))
         s0, s1, s2 = (sv[plan3.perm[0]], sv[plan3.perm[1]], sv[plan3.perm[2]])
         rows = oblique_gather_shifted(
             jnp.transpose(bev_dose, plan3.perm), cc0, cc1, cc2, s0, s1, s2,
             plan3)
-        vals = unpack_lattice_rows(rows, info)
-        if swapped:
-            vals = jnp.swapaxes(vals, 0, 1)
-        return vals                                  # (nz, ny, nx)
+        return jnp.transpose(unpack_lattice_rows(rows, info),
+                             tuple(np.argsort(axes)))   # (nz, ny, nx)
 
     xs = jnp.arange(x0, x1 + 1, dtype=bev_dose.dtype)
     ys = jnp.arange(y0, y1 + 1, dtype=bev_dose.dtype)

@@ -113,8 +113,7 @@ def _band_radius_rows(rs_slice, ks_cutoff, max_radius):
     kernel's static class set (batching sparse classes into the next-larger
     kernel, kernel_wrapper.cu:968-976). Returns (Y, X) per-source radii,
     -1 for sources of an all-dead tile."""
-    classes = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
-               18, 20, 22, 24, 28, 32]
+    classes = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32]
     classes = sorted({c for c in classes if c < max_radius} | {max_radius})
     Y, X = rs_slice.shape
     st = 8 if Y % 8 == 0 else Y

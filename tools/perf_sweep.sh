@@ -4,6 +4,8 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p perf_logs
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 ts=$(date +%H%M%S)
 
 run() {
