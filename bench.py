@@ -37,11 +37,13 @@ def _median_ms(fn, n_trials=5):
     return float(np.median(times)), times
 
 
-def _device_ms(apply_scalar, weights, n_trials=3):
+def _device_ms(apply_scalar, weights, n_trials=5):
     """Pure device ms per application: in-graph lax.scan of N applications
     (CSE defeated by a per-step weight perturbation), device time =
     (T(4) - T(1)) / 3 — the ~24 ms/dispatch tunnel cost cancels exactly
-    (methodology: PERF.md 'Measurement methodology')."""
+    (methodology: PERF.md 'Measurement methodology'). Uses the MIN over
+    trials: tunnel latency spikes only ever add time, so min is the
+    robust estimator of the true device cost."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +64,7 @@ def _device_ms(apply_scalar, weights, n_trials=3):
             t0 = time.perf_counter()
             float(rep(weights))
             ts.append((time.perf_counter() - t0) * 1000.0)
-        return float(np.median(ts))
+        return float(np.min(ts))
 
     return max((timed(4) - timed(1)) / 3.0, 0.0)
 

@@ -26,13 +26,24 @@ TPU-first:
   * Within an (8,128) tile, the (floor_z, floor_y) pairs touched by the
     lanes lie in a narrow band around a line (both floors are affine in
     the lane index). The kernel walks the band: for each plane z it
-    reconstructs the band centre y_b(z) from per-tile affine scalars and
-    visits only ``kw`` rows around it — O(z-range × band width) source
-    rows instead of the O(z-range × y-range) rectangle. Each visited row
-    contributes through two lane-gathers (take_along_axis select-merged
-    over 128-lane groups, like ops/resample._row_lerp_kernel) and
-    floor-matched corner weights. Corners that fall outside the volume are
-    never visited, which *is* the border-zero rule.
+    reconstructs the band centre y_b(z) from affine scalars it derives
+    from the tile's own coordinates and visits only ``kw`` rows around it
+    — O(z-range × band width) source rows instead of the
+    O(z-range × y-range) rectangle. The plane loop's trip count is
+    data-derived per tile (out-of-beam tiles cost ~nothing) and manually
+    unrolled 4x; each visited row is a lane-offset-0 (1,128) load from
+    the group-major window, broadcast and lane-gathered (take_along_axis
+    select-merged over 128-lane groups, like resample._row_lerp_kernel)
+    with floor-matched corner weights. Corners that fall outside the
+    volume are never visited/matched, which *is* the border-zero rule.
+  * The packing/planning layer (plan_lattice_best) measures all six
+    output-axis assignments — which output axis rides the lanes and the
+    row ordering — and keeps the cheapest; all coverage quantities are
+    measured on the actual coordinates, never estimated.
+
+Measured on TPU v5e (watercube 256^3 CT, gantry 30/couch 15 rotated
+lattice, (512,128,128) samples): ~94 ms wall vs ~3.9 s for the XLA
+scalar-gather fallback (tools/oblique_micro.py).
 
 The backward (d/d volume — oblique d-dose/d-CT and the oblique transfer
 adjoint d-dose/d-BEV) routes through the jnp reference gather's VJP (XLA
@@ -224,10 +235,6 @@ def plan_oblique(coords: np.ndarray, vol_shape: Tuple[int, int, int],
     kw = int(k_hi - k_lo + 1 + 2 * _MARGIN)
     if kw > KW_MAX:
         return None
-    # the kernel loads whole bands of height round8(kw); the window must
-    # fit one
-    wy = max(wy, min(d1, -(-kw // 8) * 8))
-
     return ObliquePlan(
         perm=perm, tr=tr, wz=wz, wy=wy, wzt=wzt, kw=kw, off_k=off_k,
         z0_tbl=z0_tbl, y0_tbl=y0_tbl, r_pad=r_pad, nb=nb,
@@ -297,13 +304,6 @@ def _gather_kernel(tab_ref, c0_ref, c1_ref, c2_ref, vol_ref, out_ref, win,
         iz_hi = jnp.minimum(jnp.max(iz) + 1, d0 - 1)
         zt = jnp.clip(iz_lo - _MARGIN, 0, max(d0 - 1, 0))
         n_planes = jnp.clip(iz_hi + 1 + _MARGIN - zt, 0, wzt)
-
-        # band block height: whole-band loads per (plane, group) — ONE
-        # dynamic-address VMEM load instead of kw row loads (dynamic loads
-        # and their scalar address chains dominate the plane cost; the
-        # static-row visits below are a few cycles each). Tiny volumes cap
-        # at the window height (base 0 then covers the whole axis).
-        kw8 = min(-(-kw // 8) * 8, wy)
 
         UNROLL = 4
 

@@ -15,7 +15,7 @@ run() {
 }
 
 run bench        python bench.py
-run fwd_marg_wc  python tools/profile_marginal.py
+run fwd_marg_wc  python tools/profile_marginal.py --workload watercube
 run fwd_marg_het python tools/profile_marginal.py --workload hetero
 run grad_marg_wc python tools/profile_grad_marginal.py
 run grad_marg_het python tools/profile_grad_marginal.py --workload hetero

@@ -53,8 +53,12 @@ def main():
                         jnp.asarray(beam.energies),
                         jnp.asarray(beam.spot_sigmas))
 
+    # target from perturbed weights so the residual (and the CT gradient)
+    # is nonzero at the measured point
+    tgt_inputs = BeamInputs(0.9 * inputs.spot_weights, inputs.energies,
+                            inputs.spot_sigmas)
     target = compute_beam_dose(ct, jnp.zeros(static.dose_shape, jnp.float32),
-                               inputs, eng.table_arrays, static, cfg)
+                               tgt_inputs, eng.table_arrays, static, cfg)
     target = jax.block_until_ready(target)
 
     def fwd(c):
@@ -71,8 +75,6 @@ def main():
         val, g = jax.value_and_grad(loss)(c)
         return val + jnp.sum(jnp.abs(g))
 
-    g = jax.jit(jax.grad(lambda c: float(0) + jnp.sum(
-        jnp.zeros(()))))  # warm the runtime
     t0 = time.time()
     v = float(jax.jit(ct_loss_grad)(ct))
     print(f"ct-grad compile+run {time.time() - t0:.1f}s, value {v:.3e}")
