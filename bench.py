@@ -156,6 +156,21 @@ def main():
         return val + jnp.sum(gw) + jnp.sum(ge)
     grad_dev_ms = _device_ms(grad_scalar, 0.9 * inputs.spot_weights)
 
+    # weights-only gradients — the clinical spot-weight optimization loop
+    # (energy layers fixed): skips the sigma-derivative adjoint path that
+    # dominates the full backward (PERF.md backward attribution)
+    def gradw_scalar(w):
+        def loss(wi):
+            inp = BeamInputs(spot_weights=wi, energies=inputs.energies,
+                             spot_sigmas=inputs.spot_sigmas)
+            dose0 = jnp.zeros(static.dose_shape, ct.dtype)
+            dose = compute_beam_dose(ct, dose0, inp, eng.table_arrays,
+                                     static, cfg)
+            return jnp.mean((dose - target) ** 2) / jnp.mean(target ** 2)
+        val, gw = jax.value_and_grad(loss)(w)
+        return val + jnp.sum(gw)
+    gradw_dev_ms = _device_ms(gradw_scalar, 0.9 * inputs.spot_weights)
+
     # ---- patient-like heterogeneous CT (the reference's actual headline
     # claim is sub-second on patient CT, README.md:2): same plan geometry,
     # H&N tables, every depth slice mixing lung/soft/bone sigma histories so
@@ -230,6 +245,18 @@ def main():
         return val + jnp.sum(gw) + jnp.sum(ge)
     het_grad_dev_ms = _device_ms(het_grad_scalar, 0.9 * het_inputs.spot_weights)
 
+    def het_gradw_scalar(w):
+        def loss(wi):
+            inp = BeamInputs(spot_weights=wi, energies=het_inputs.energies,
+                             spot_sigmas=het_inputs.spot_sigmas)
+            dose0 = jnp.zeros(het_static.dose_shape, het_ct.dtype)
+            dose = compute_beam_dose(het_ct, dose0, inp,
+                                     het_eng.table_arrays, het_static, cfg)
+            return jnp.mean((dose - het_target) ** 2) / jnp.mean(het_target ** 2)
+        val, gw = jax.value_and_grad(loss)(w)
+        return val + jnp.sum(gw)
+    het_gradw_dev_ms = _device_ms(het_gradw_scalar, 0.9 * het_inputs.spot_weights)
+
     # ---- oblique gantry (gantry 30 / couch 15): the reference is
     # rotation-agnostic through tex3D (kernel_wrapper.cu:130-187); this row
     # gates the band-walk Pallas gather path (ops/pallas_gather3d.py).
@@ -299,12 +326,16 @@ def main():
         "device_ms_per_beam": round(fwd_dev_ms, 2),
         "grad_device_ms": round(grad_dev_ms, 2),
         "grad_fwd_device_ratio": round(grad_dev_ms / fwd_dev_ms, 3),
+        "grad_weights_only_device_ms": round(gradw_dev_ms, 2),
+        "grad_weights_only_ratio": round(gradw_dev_ms / fwd_dev_ms, 3),
         "hetero_forward_ms_per_beam": round(het_ms, 2),
         "hetero_grad_pass_ms": round(het_grad_ms, 2),
         "hetero_grad_fwd_ratio": round(het_grad_ms / het_ms, 3),
         "hetero_device_ms_per_beam": round(het_dev_ms, 2),
         "hetero_grad_device_ms": round(het_grad_dev_ms, 2),
         "hetero_grad_fwd_device_ratio": round(het_grad_dev_ms / het_dev_ms, 3),
+        "hetero_grad_weights_only_device_ms": round(het_gradw_dev_ms, 2),
+        "hetero_grad_weights_only_ratio": round(het_gradw_dev_ms / het_dev_ms, 3),
         "oblique_forward_ms_per_beam":
             None if obl_ms is None else round(obl_ms, 2),
         "oblique_device_ms_per_beam":
