@@ -157,15 +157,18 @@ def main():
     grad_dev_ms = _device_ms(grad_scalar, 0.9 * inputs.spot_weights)
 
     # weights-only gradients — the clinical spot-weight optimization loop
-    # (energy layers fixed): skips the sigma-derivative adjoint path that
-    # dominates the full backward (PERF.md backward attribution)
+    # (energy layers fixed, freeze_sigma_grad cuts the sigma adjoint chain;
+    # d-dose/d-weights is unchanged, tests/test_gradients.py gates it)
+    import dataclasses as _dc
+    cfg_w = _dc.replace(cfg, freeze_sigma_grad=True)
+
     def gradw_scalar(w):
         def loss(wi):
             inp = BeamInputs(spot_weights=wi, energies=inputs.energies,
                              spot_sigmas=inputs.spot_sigmas)
             dose0 = jnp.zeros(static.dose_shape, ct.dtype)
             dose = compute_beam_dose(ct, dose0, inp, eng.table_arrays,
-                                     static, cfg)
+                                     static, cfg_w)
             return jnp.mean((dose - target) ** 2) / jnp.mean(target ** 2)
         val, gw = jax.value_and_grad(loss)(w)
         return val + jnp.sum(gw)
@@ -251,7 +254,7 @@ def main():
                              spot_sigmas=het_inputs.spot_sigmas)
             dose0 = jnp.zeros(het_static.dose_shape, het_ct.dtype)
             dose = compute_beam_dose(het_ct, dose0, inp,
-                                     het_eng.table_arrays, het_static, cfg)
+                                     het_eng.table_arrays, het_static, cfg_w)
             return jnp.mean((dose - het_target) ** 2) / jnp.mean(het_target ** 2)
         val, gw = jax.value_and_grad(loss)(w)
         return val + jnp.sum(gw)

@@ -37,6 +37,13 @@ class EngineConfig:
     # recompute costs more than the residual traffic); kept as a tunable
     # for memory-constrained geometries
     remat_fill: bool = False
+    # Spot-weight-only optimization: freeze the sigma adjoint chain
+    # (stop_gradient on r_sigma_eff). r_sigma_eff is mathematically
+    # independent of the spot weights, so d-dose/d-weights is UNCHANGED;
+    # only set when energies/sigmas/CT are not being differentiated (their
+    # gradients silently lose the through-sigma term otherwise). Cuts the
+    # dominant backward path (PERF.md backward attribution).
+    freeze_sigma_grad: bool = False
 
     @property
     def nuclear_enabled(self) -> bool:

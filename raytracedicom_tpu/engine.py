@@ -504,6 +504,11 @@ def compute_beam_dose(
         bev_acc, nuc_acc = acc
         idd_w = constrain(fill.idd)
         rs_w = constrain(fill.r_sigma_eff)
+        if cfg.freeze_sigma_grad:
+            # spot-weight-only optimization: r_sigma_eff does not depend
+            # on the weights, so cutting its adjoint chain (the dominant
+            # backward path) leaves d-dose/d-weights bit-identical
+            rs_w = jax.lax.stop_gradient(rs_w)
         bev_acc = bev_acc + superpose_primary(idd_w, rs_w)
 
         if nuclear_on:
@@ -518,6 +523,8 @@ def compute_beam_dose(
                              map_x, axis=2) * spot_w[None]
             n_rs = jnp.take(jnp.take(fill.nuc_r_sigma_eff, map_y, axis=1),
                             map_x, axis=2)
+            if cfg.freeze_sigma_grad:
+                n_rs = jax.lax.stop_gradient(n_rs)
             n_idd = jnp.pad(n_idd, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)))
             n_rs = jnp.pad(n_rs, ((0, 0), (0, ny_n - sy), (0, nx_n - sx)),
                            constant_values=isig.BIG_RSIGMA)

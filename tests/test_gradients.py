@@ -75,6 +75,37 @@ def test_grad_spot_weights(setup):
     assert abs(got - fd) < 0.03 * max(abs(fd), 1e-3), (got, fd)
 
 
+def test_freeze_sigma_grad_preserves_weight_gradients():
+    """freeze_sigma_grad (the spot-weight-only fast backward) must leave
+    d-dose/d-weights identical: r_sigma_eff does not depend on the
+    weights, so cutting its adjoint chain changes nothing."""
+    import dataclasses
+    tables = load_physics_tables(water_cube=True)
+    beam = _mini_beam(tables)
+    ct = jnp.full((72, 72, 72), 1000.0, jnp.float32)
+    cfg = EngineConfig(ray_weight_cutoff=0.0)
+    cfg_f = dataclasses.replace(cfg, freeze_sigma_grad=True)
+    eng = DoseEngine(tables, cfg)
+    static = eng.beam_static(beam, ct.shape)
+    inputs = BeamInputs(jnp.asarray(beam.spot_weights),
+                        jnp.asarray(beam.energies),
+                        jnp.asarray(beam.spot_sigmas))
+
+    def gw(c):
+        def loss(w):
+            i = inputs._replace(spot_weights=w)
+            dose = compute_beam_dose(
+                ct, jnp.zeros(static.dose_shape, jnp.float32), i,
+                eng.table_arrays, static, c)
+            return jnp.sum(dose ** 2) * 1e10
+        return jax.jit(jax.grad(loss))(inputs.spot_weights)
+
+    g_full = np.asarray(gw(cfg))
+    g_frozen = np.asarray(gw(cfg_f))
+    assert np.abs(g_full).max() > 0
+    np.testing.assert_array_equal(g_frozen, g_full)
+
+
 def test_grad_energies(setup):
     """Energy gradient vs central FD over several directions.
 
